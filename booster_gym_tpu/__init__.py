@@ -1,0 +1,23 @@
+"""Booster Gym TPU — a TPU-native humanoid locomotion training framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+Nyro-Robotics/booster_gym (reference: /root/reference): batched articulated
+rigid-body dynamics, the T1 locomotion task, PPO training sharded over TPU
+meshes, cross-sim MuJoCo evaluation, policy export, and the robot deploy
+stack.
+
+Layer map (TPU-first, not a port):
+
+    CLI           train.py / play.py / export_model.py / play_mujoco.py
+    algo/         PPO as a single jitted train-iteration (rollout lax.scan +
+                  full-batch mini-epoch scan), flax actor-critic
+    envs/         T1 task as a pure function (state, action, key) -> step
+    physics/      batched Featherstone dynamics + compliant/TGS contact,
+                  vmapped over envs, static-topology unrolled
+    terrain/      heightfield generators + on-device bilinear queries
+    model/        URDF parser -> static RobotModel pytree
+    math/         quaternion / SO(3) / spatial algebra
+    parallel/     device mesh + sharding helpers (env-batch DP over ICI)
+"""
+
+__version__ = "0.1.0"
