@@ -21,3 +21,12 @@ Layer map (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Physics kernels are f32 small-matmul chains; TPU matmuls default to bf16
+# passes, which is far too coarse for contact dynamics (observed ~6e-3 error
+# per 3x3 matmul).  Force full f32 matmul precision framework-wide; the RL
+# MLPs are a negligible fraction of the FLOPs so this costs nothing.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
