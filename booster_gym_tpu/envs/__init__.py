@@ -1,0 +1,16 @@
+"""Task registry — new tasks register here, mirroring the reference's
+envs/__init__.py + eval() dispatch (reference: utils/runner.py:27-28)."""
+
+from booster_gym_tpu.envs.t1 import T1
+
+TASKS = {"T1": T1}
+
+
+def make_task(cfg):
+    name = cfg["basic"]["task"]
+    if name not in TASKS:
+        raise KeyError(f"Unknown task {name}; known: {sorted(TASKS)}")
+    return TASKS[name](cfg)
+
+
+__all__ = ["T1", "TASKS", "make_task"]

@@ -77,7 +77,7 @@ def solve(cfg, model, shape_friction, shape_restitution, M_cho, J_pts, depth, no
     def sweep(lam, _):
         u = u_free + W @ lam.reshape(-1)
         v = jnp.einsum("pij,j->pi", J_pts, u)
-        dlam = jnp.linalg.solve(D_split, v_target - v)
+        dlam = jnp.linalg.solve(D_split, (v_target - v)[..., None])[..., 0]
         lam_new = lam + cfg.relaxation * dlam
         # friction-cone projection
         ln = jnp.sum(lam_new * normal, axis=-1)
