@@ -301,7 +301,9 @@ class T1:
             filtered_ang_vel=jnp.zeros_like(state.filtered_ang_vel),
         )
         state = self._resample_commands(state, k2)
-        obs, privileged = self._compute_observations(params, state)
+        key, k_obs = jax.random.split(state.key)
+        state = state.replace(key=key)
+        obs, privileged = self._compute_observations(params, state, k_obs)
         info = {
             "privileged_obs": privileged,
             "time_outs": state.time_out_buf,
@@ -509,7 +511,7 @@ class T1:
         state = self._resample_commands(state, keys[3])
         # refresh derived quantities for envs that were reset/teleported
         state = self._refresh_post_physics(params, state, reset_mask)
-        obs, privileged = self._compute_observations(params, state)
+        obs, privileged = self._compute_observations(params, state, keys[4])
 
         state = state.replace(
             last_actions=state.actions,
@@ -628,13 +630,11 @@ class T1:
         return state.replace(sim=state.sim.replace(root_pos=new_pos))
 
     # ------------------------------------------------------------------
-    def _compute_observations(self, params, state):
+    def _compute_observations(self, params, state, key):
         """47-dim actor obs + 14-dim privileged obs (envs/t1.py:574-603)."""
         ncfg = self.cfg["normalization"]
         noise = self.cfg["noise"]
-        key, *ks = jax.random.split(state.key, 9)
-        # note: consuming state.key here is safe because step() replaced it
-        # already; reuse pattern matches one fresh subkey per noise term
+        ks = jax.random.split(key, 8)
         commands_scale = jnp.asarray(
             [ncfg["lin_vel"], ncfg["lin_vel"], ncfg["ang_vel"]])
         gait_on = (state.gait_frequency > 1.0e-8).astype(jnp.float32)

@@ -1,0 +1,159 @@
+"""T1 env integration tests: shapes, obs layout, stepping, resets,
+command resampling, termination — semantics per reference envs/t1.py."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from booster_gym_tpu.envs import make_task
+from booster_gym_tpu.utils.config import load_task_cfg
+
+
+def small_cfg(num_envs=8, terrain="plane", curriculum=False):
+    cfg = load_task_cfg("T1")
+    cfg["env"]["num_envs"] = num_envs
+    cfg["terrain"]["type"] = terrain
+    cfg["commands"]["curriculum"] = curriculum
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def env_and_state():
+    env = make_task(small_cfg())
+    params = jax.jit(env.init_params)(jax.random.PRNGKey(0))
+    reset = jax.jit(env.reset_all)
+    state, obs, info = reset(params, jax.random.PRNGKey(1))
+    return env, params, state, obs, info
+
+
+def test_reset_shapes(env_and_state):
+    env, params, state, obs, info = env_and_state
+    assert obs.shape == (8, 47)
+    assert info["privileged_obs"].shape == (8, 14)
+    assert np.all(np.isfinite(np.asarray(obs)))
+    # robots start near init height above terrain
+    assert np.all(np.asarray(state.sim.root_pos[:, 2]) > 0.6)
+
+
+def test_obs_layout(env_and_state):
+    """obs = [proj_gravity(3), ang_vel(3), commands(3), gait cos/sin(2),
+    dof_pos-default(12), dof_vel*0.1(12), actions(12)]  (envs/t1.py:580-592)."""
+    env, params, state, obs, info = env_and_state
+    o = np.asarray(obs)
+    # projected gravity initially ~ (0, 0, -1): noise sigma 0.01
+    np.testing.assert_allclose(o[:, 2], -1.0, atol=0.05)
+    # commands slice equals state.commands (scales are 1)
+    np.testing.assert_allclose(o[:, 6:9], np.asarray(state.commands), atol=1e-5)
+    # last actions are zero at reset
+    np.testing.assert_allclose(o[:, 35:47], 0.0, atol=1e-6)
+    # gait clock starts at phase 0 -> cos=1 (for non-still envs), sin=0
+    on = np.asarray(state.gait_frequency) > 1e-8
+    np.testing.assert_allclose(o[on, 9], 1.0, atol=1e-5)
+    np.testing.assert_allclose(o[:, 10], 0.0, atol=1e-5)
+
+
+def test_step_runs_and_shapes(env_and_state):
+    env, params, state, obs, info = env_and_state
+    step = jax.jit(env.step)
+    actions = jnp.zeros((8, 12))
+    state2, obs2, rew, done, info2 = step(params, state, actions)
+    assert obs2.shape == (8, 47)
+    assert rew.shape == (8,)
+    assert done.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(obs2)))
+    assert np.all(np.isfinite(np.asarray(rew)))
+    assert int(state2.common_step_counter) == 1
+    assert np.all(np.asarray(state2.episode_length) == 1)
+    # only_positive_rewards clips at zero (envs/t1.py:571-572)
+    assert np.all(np.asarray(rew) >= 0.0)
+    # reward terms cover every non-zero scale
+    assert set(info2["rew_terms"].keys()) == set(env.reward_scales.keys())
+
+
+def test_multistep_survival(env_and_state):
+    """Zero-action PD holds the default pose; robots should survive at least
+    a second before (possibly) tipping like the open-loop MuJoCo rollout."""
+    env, params, state, obs, info = env_and_state
+    step = jax.jit(env.step)
+    dones = []
+    for _ in range(25):  # 0.5 s
+        state, obs, rew, done, info = step(params, state, jnp.zeros((8, 12)))
+        dones.append(np.asarray(done))
+    assert not np.any(np.stack(dones[:20])), "robots died within 0.4 s"
+
+
+def test_gait_clock_advances(env_and_state):
+    env, params, state, obs, info = env_and_state
+    step = jax.jit(env.step)
+    s = state
+    for _ in range(3):
+        s, *_ = step(params, s, jnp.zeros((8, 12)))
+    gp = np.asarray(s.gait_process)
+    gf = np.asarray(s.gait_frequency)
+    np.testing.assert_allclose(gp, np.mod(3 * env.dt * gf, 1.0), atol=1e-5)
+
+
+def test_termination_on_low_height():
+    env = make_task(small_cfg(num_envs=4))
+    params = jax.jit(env.init_params)(jax.random.PRNGKey(0))
+    state, obs, info = jax.jit(env.reset_all)(params, jax.random.PRNGKey(1))
+    # teleport robots to the floor -> terminate_height triggers
+    state = state.replace(
+        sim=state.sim.replace(root_pos=state.sim.root_pos.at[:, 2].set(0.2)))
+    state2, obs2, rew, done, info2 = jax.jit(env.step)(params, state, jnp.zeros((4, 12)))
+    assert np.all(np.asarray(done))
+    # after reset, episode_length is back to zero
+    assert np.all(np.asarray(state2.episode_length) == 0)
+    # and robots are back at standing height above terrain
+    h = np.asarray(state2.sim.root_pos[:, 2])
+    assert np.all(h > 0.6)
+
+
+def test_commands_resampled_at_reset():
+    env = make_task(small_cfg(num_envs=16))
+    params = jax.jit(env.init_params)(jax.random.PRNGKey(0))
+    state, obs, info = jax.jit(env.reset_all)(params, jax.random.PRNGKey(1))
+    c = np.asarray(state.commands)
+    # non-still envs should have nonzero commands
+    on = np.asarray(state.gait_frequency) > 0
+    assert np.any(np.abs(c[on]) > 1e-3)
+    assert np.all(np.abs(c[:, 0]) <= 1.0 + 1e-6)
+    # resample time in [8, 12] s
+    rt = np.asarray(state.cmd_resample_time)
+    assert np.all(rt >= int(8 / env.dt)) and np.all(rt < int(12 / env.dt))
+
+
+def test_trimesh_env_builds_and_steps():
+    env = make_task(small_cfg(num_envs=4, terrain="trimesh"))
+    params = jax.jit(env.init_params)(jax.random.PRNGKey(0))
+    state, obs, info = jax.jit(env.reset_all)(params, jax.random.PRNGKey(1))
+    state2, obs2, rew, done, info2 = jax.jit(env.step)(params, state, jnp.zeros((4, 12)))
+    assert np.all(np.isfinite(np.asarray(obs2)))
+    # origins lie on the terrain grid with terrain-height z
+    assert np.all(np.asarray(params.env_origins[:, 0]) > 0)
+
+
+def test_curriculum_env_steps():
+    env = make_task(small_cfg(num_envs=4, curriculum=True))
+    params = jax.jit(env.init_params)(jax.random.PRNGKey(0))
+    state, obs, info = jax.jit(env.reset_all)(params, jax.random.PRNGKey(1))
+    assert float(jnp.sum(state.curriculum_prob)) == pytest.approx(1.0)
+    state2, *_ = jax.jit(env.step)(params, state, jnp.zeros((4, 12)))
+    assert state2.curriculum_prob.shape == env.curriculum_shape
+
+
+def test_determinism():
+    env = make_task(small_cfg(num_envs=4))
+    params = jax.jit(env.init_params)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    s1, o1, _ = jax.jit(env.reset_all)(params, jax.random.PRNGKey(7))
+    s2, o2, _ = jax.jit(env.reset_all)(params, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    a = jnp.ones((4, 12)) * 0.1
+    r1 = step(params, s1, a)
+    r2 = step(params, s2, a)
+    np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
+    np.testing.assert_array_equal(np.asarray(r1[2]), np.asarray(r2[2]))
