@@ -1,0 +1,233 @@
+"""PPO trainer: one jitted train iteration = rollout + update.
+
+Re-design of the reference Runner loop (reference: utils/runner.py:99-215)
+as a single XLA program: the 24-step rollout is a lax.scan over the pure env
+step, the 20 full-batch mini-epochs are a lax.scan over the update, GAE is a
+reverse lax.scan (recurrence of utils/utils.py:33-44), and episode
+statistics accumulate on device (replacing the host-side Recorder loop,
+utils/recorder.py:36-62).  Only a small dict of scalars leaves the device
+each iteration.
+
+Numerics matched to the reference:
+  * timeout rewards bootstrapped with the *current* value estimate each
+    mini-epoch (utils/runner.py:135);
+  * values recomputed (with gradient) every mini-epoch; GAE/returns under
+    stop_gradient (utils/runner.py:131-145 no_grad block);
+  * advantage normalization with Bessel-corrected std (torch .std());
+  * clipped surrogate with e_clip = 0.2 (utils/utils.py:47-52);
+  * bound loss on the raw action mean at +-1 (utils/runner.py:152);
+  * entropy bonus via entropy_coef = -0.01 added to the loss;
+  * analytic-KL adaptive LR x/÷1.5 clamped to [1e-5, 1e-2], applied after
+    each mini-epoch's optimizer step (utils/runner.py:167-180);
+  * global grad-norm clip 1.0 and Adam (utils/runner.py:164).
+"""
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from booster_gym_tpu.algo.networks import (
+    ActorCritic,
+    normal_entropy,
+    normal_kl,
+    normal_log_prob,
+)
+
+
+def discount_values(rewards, dones, values, last_values, gamma, lam):
+    """GAE advantages — reverse scan with the recurrence of the reference's
+    discount_values (utils/utils.py:33-44)."""
+    next_values = jnp.concatenate([values[1:], last_values[None]], axis=0)
+
+    def body(last_adv, x):
+        rew, done, val, next_val = x
+        nonterminal = 1.0 - done.astype(jnp.float32)
+        delta = rew + gamma * nonterminal * next_val - val
+        adv = delta + gamma * lam * nonterminal * last_adv
+        return adv, adv
+
+    _, advantages = jax.lax.scan(
+        body, jnp.zeros_like(last_values), (rewards, dones, values, next_values),
+        reverse=True,
+    )
+    return advantages
+
+
+class TrainState(struct.PyTreeNode):
+    params: any
+    opt_state: any
+    lr: jnp.ndarray
+    env_state: any
+    obs: jnp.ndarray
+    privileged_obs: jnp.ndarray
+    key: jnp.ndarray
+    # on-device episode statistics (recorder semantics, utils/recorder.py:36-62)
+    episode_sums: dict
+    episode_steps: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class PPO:
+    def __init__(self, env, cfg):
+        self.env = env
+        self.cfg = cfg
+        acfg = cfg["algorithm"]
+        self.gamma = acfg["gamma"]
+        self.lam = acfg["lam"]
+        self.clip_ratio = acfg.get("clip_ratio", 0.2)
+        self.bound_coef = acfg["bound_coef"]
+        self.entropy_coef = acfg["entropy_coef"]
+        self.desired_kl = acfg["desired_kl"]
+        self.base_lr = acfg["learning_rate"]
+        self.horizon = cfg["runner"]["horizon_length"]
+        self.mini_epochs = cfg["runner"]["mini_epochs"]
+        self.network = ActorCritic(env.num_actions, env.num_obs, env.num_privileged_obs)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(acfg.get("grad_norm_clip", 1.0)),
+            optax.inject_hyperparams(optax.adam)(learning_rate=self.base_lr),
+        )
+
+    # -- param/state init ------------------------------------------------
+    def init(self, key):
+        k_params, k_env, k_reset, k_carry = jax.random.split(key, 4)
+        env_params = self.env.init_params(k_env)
+        env_state, obs, info = self.env.reset_all(env_params, k_reset)
+        params = self.network.init(
+            k_params, jnp.zeros((1, self.env.num_obs)),
+            jnp.zeros((1, self.env.num_privileged_obs)))
+        opt_state = self.tx.init(params)
+        B = self.env.num_envs
+        episode_sums = {"reward": jnp.zeros(B)}
+        for name in self.env.reward_scales:
+            episode_sums[name] = jnp.zeros(B)
+        ts = TrainState(
+            params=params, opt_state=opt_state,
+            lr=jnp.asarray(self.base_lr, jnp.float32),
+            env_state=env_state, obs=obs, privileged_obs=info["privileged_obs"],
+            key=k_carry, episode_sums=episode_sums,
+            episode_steps=jnp.zeros(B, jnp.int32),
+            iteration=jnp.asarray(0, jnp.int32),
+        )
+        return env_params, ts
+
+    # -- policy inference ------------------------------------------------
+    def act(self, params, obs):
+        return self.network.apply(params, obs, method=ActorCritic.act)
+
+    def est_value(self, params, obs, privileged_obs):
+        return self.network.apply(
+            params, obs, privileged_obs, method=ActorCritic.est_value)
+
+    # -- one training iteration -----------------------------------------
+    def train_iteration(self, env_params, ts):
+        """(env_params, TrainState) -> (TrainState, metrics dict of scalars)."""
+        # ---- rollout (utils/runner.py:106-121)
+        def rollout_step(carry, _):
+            env_state, obs, priv, key, ep_sums, ep_steps, fin_sums, fin_cnt, fin_steps = carry
+            key, k_act = jax.random.split(key)
+            mu, std = self.act(ts.params, obs)
+            act = mu + std * jax.random.normal(k_act, mu.shape)
+            env_state, obs2, rew, done, info = self.env.step(env_params, env_state, act)
+
+            # on-device episode statistics
+            d = done.astype(jnp.float32)
+            ep_steps = ep_steps + 1
+            new_sums = {}
+            for name, val in {"reward": rew, **info["rew_terms"]}.items():
+                s = ep_sums[name] + val
+                fin_sums[name] = fin_sums[name] + jnp.sum(s * d)
+                new_sums[name] = s * (1.0 - d)
+            fin_cnt = fin_cnt + jnp.sum(d)
+            fin_steps = fin_steps + jnp.sum(ep_steps * done)
+            ep_steps = ep_steps * (1 - done)
+
+            out = (obs, priv, act, mu, std, rew, done, info["time_outs"])
+            return (env_state, obs2, info["privileged_obs"], key, new_sums,
+                    ep_steps, fin_sums, fin_cnt, fin_steps), out
+
+        fin_sums0 = {k: jnp.zeros(()) for k in ts.episode_sums}
+        carry0 = (ts.env_state, ts.obs, ts.privileged_obs, ts.key, ts.episode_sums,
+                  ts.episode_steps, fin_sums0, jnp.zeros(()), jnp.zeros(()))
+        carry, buf = jax.lax.scan(rollout_step, carry0, None, length=self.horizon)
+        (env_state, obs_last, priv_last, key, ep_sums, ep_steps,
+         fin_sums, fin_cnt, fin_steps) = carry
+        (obs_buf, priv_buf, act_buf, mu_buf, std_buf, rew_buf, done_buf, timeout_buf) = buf
+
+        old_logp = normal_log_prob(mu_buf, std_buf, act_buf)
+
+        # ---- update (utils/runner.py:131-185)
+        def epoch(carry, _):
+            params, opt_state, lr = carry
+
+            def loss_fn(p):
+                mu, std = self.act(p, obs_buf)
+                values = self.est_value(p, obs_buf, priv_buf)
+                last_values = self.est_value(p, obs_last, priv_last)
+                vd = jax.lax.stop_gradient(values)
+                lvd = jax.lax.stop_gradient(last_values)
+                rwd = jnp.where(timeout_buf, vd, rew_buf)
+                adv = discount_values(
+                    rwd, done_buf | timeout_buf, vd, lvd, self.gamma, self.lam)
+                returns = vd + adv
+                adv = (adv - adv.mean()) / (jnp.std(adv, ddof=1) + 1e-8)
+
+                value_loss = jnp.mean(jnp.square(values - returns))
+                logp = normal_log_prob(mu, std, act_buf)
+                ratio = jnp.exp(logp - old_logp)
+                surr = -adv * ratio
+                surr_clipped = -adv * jnp.clip(
+                    ratio, 1.0 - self.clip_ratio, 1.0 + self.clip_ratio)
+                actor_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+                bound_loss = (
+                    jnp.mean(jnp.square(jnp.clip(mu - 1.0, min=0.0)))
+                    + jnp.mean(jnp.square(jnp.clip(mu + 1.0, max=0.0))))
+                entropy = jnp.mean(normal_entropy(std))
+                loss = (value_loss + actor_loss + self.bound_coef * bound_loss
+                        + self.entropy_coef * entropy)
+                return loss, (value_loss, actor_loss, bound_loss, entropy, mu, std)
+
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params)
+            value_loss, actor_loss, bound_loss, entropy, mu, std = aux
+            inject = opt_state[1]._replace(
+                hyperparams={**opt_state[1].hyperparams, "learning_rate": lr})
+            updates, opt_state2 = self.tx.update(grads, (opt_state[0], inject), params)
+            params2 = optax.apply_updates(params, updates)
+
+            kl_mean = jnp.mean(normal_kl(mu_buf, std_buf, mu, std))
+            lr2 = jnp.where(
+                kl_mean > self.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5),
+                jnp.where(kl_mean < self.desired_kl / 2.0, jnp.minimum(1e-2, lr * 1.5), lr))
+            return (params2, opt_state2, lr2), (
+                value_loss, actor_loss, bound_loss, entropy, kl_mean)
+
+        (params, opt_state, lr), stats = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, ts.lr), None, length=self.mini_epochs)
+        value_loss, actor_loss, bound_loss, entropy, kl_mean = stats
+
+        levels = env_state.env_curriculum_level
+        metrics = {
+            "reward": fin_sums["reward"] / jnp.maximum(fin_cnt, 1.0),
+            "steps": fin_steps / jnp.maximum(fin_cnt, 1.0),
+            "episodes": fin_cnt,
+            "value_loss": value_loss.mean(),
+            "actor_loss": actor_loss.mean(),
+            "bound_loss": bound_loss.mean(),
+            "entropy": entropy.mean(),
+            "kl_mean": kl_mean[-1],
+            "lr": lr,
+            "curriculum/mean_lin_vel_level": jnp.mean(jnp.abs(levels[:, 0]).astype(jnp.float32)),
+            "curriculum/mean_ang_vel_level": jnp.mean(jnp.abs(levels[:, 1]).astype(jnp.float32)),
+            "curriculum/max_lin_vel_level": jnp.max(jnp.abs(levels[:, 0])).astype(jnp.float32),
+            "curriculum/max_ang_vel_level": jnp.max(jnp.abs(levels[:, 1])).astype(jnp.float32),
+        }
+        for name in self.env.reward_scales:
+            metrics[f"episode/{name}"] = fin_sums[name] / jnp.maximum(fin_cnt, 1.0)
+
+        ts = ts.replace(
+            params=params, opt_state=opt_state, lr=lr,
+            env_state=env_state, obs=obs_last, privileged_obs=priv_last, key=key,
+            episode_sums=ep_sums, episode_steps=ep_steps,
+            iteration=ts.iteration + 1,
+        )
+        return ts, metrics

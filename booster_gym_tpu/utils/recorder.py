@@ -1,0 +1,97 @@
+"""Run logging + checkpointing.
+
+Mirrors the reference Recorder (reference: utils/recorder.py): per-run
+logs/<timestamp>/ directory with a config snapshot, TensorBoard scalars
+(W&B optional), and checkpoints under nn/.  Differences by design:
+
+  * episode statistics are already aggregated on device by the PPO scan
+    (algo/ppo.py), so this class only writes scalars — there is no per-step
+    host loop (utils/recorder.py:36-62 is the hot-path anti-pattern);
+  * checkpoints also store iteration, adaptive LR, and optimizer state,
+    fixing the resume gaps SURVEY.md §5.4 documents in the reference.
+"""
+
+import os
+import pickle
+import glob
+import time
+
+import numpy as np
+import yaml
+import jax
+
+
+class Recorder:
+    def __init__(self, cfg, root="logs"):
+        self.cfg = cfg
+        name = time.strftime("%Y-%m-%d-%H-%M-%S", time.localtime())
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.model_dir = os.path.join(self.dir, "nn")
+        os.makedirs(self.model_dir, exist_ok=True)
+
+        self.writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(self.dir, "summaries"))
+        except Exception:
+            pass
+        self.use_wandb = bool(cfg["runner"].get("use_wandb", False))
+        if self.use_wandb:
+            try:
+                import wandb
+
+                wandb.init(
+                    project=cfg["basic"]["task"], dir=self.dir, name=name,
+                    notes=cfg["basic"].get("description", ""), config=cfg)
+            except Exception:
+                self.use_wandb = False
+
+        with open(os.path.join(self.dir, "config.yaml"), "w") as f:
+            yaml.dump(cfg, f)
+        self._scalars_path = os.path.join(self.dir, "scalars.jsonl")
+
+    def record_statistics(self, statistics, it):
+        import json
+
+        row = {"it": int(it)}
+        for key, value in statistics.items():
+            v = float(np.asarray(value))
+            row[key] = v
+            # reward-term paths mirror the reference's episode/ prefix scheme
+            if self.writer is not None:
+                self.writer.add_scalar(key, v, it)
+        if self.use_wandb:
+            import wandb
+
+            wandb.log({k: v for k, v in row.items() if k != "it"}, step=it)
+        with open(self._scalars_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def save(self, state_dict, it):
+        """Checkpoint a pytree of host arrays to nn/model_<it>.ckpt."""
+        path = os.path.join(self.model_dir, f"model_{it}.ckpt")
+        host = jax.tree.map(lambda x: np.asarray(x), state_dict)
+        with open(path, "wb") as f:
+            pickle.dump(host, f)
+        print(f"Saving model to {path}")
+        return path
+
+
+def resolve_checkpoint(checkpoint, root="logs"):
+    """-1 selects the newest checkpoint across runs (reference:
+    utils/runner.py:85-86, export_model.py:20-21)."""
+    if checkpoint in (-1, "-1"):
+        paths = sorted(
+            glob.glob(os.path.join(root, "**", "*.ckpt"), recursive=True),
+            key=os.path.getmtime)
+        if not paths:
+            raise FileNotFoundError(f"no checkpoints under {root}")
+        return paths[-1]
+    return checkpoint
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
