@@ -1,40 +1,87 @@
 """Velocity-level contact solver (single env; vmapped by the engine).
 
 TPU-native replacement for the PhysX TGS contact pipeline (reference solver
-knobs: envs/T1.yaml:45-57).  Design, chosen for XLA-friendliness:
+knobs: envs/T1.yaml:45-57).  Design, shaped by profiling on v5e:
 
   * static contact candidates — the robot's collision sample points
     (model/urdf.py) are tested against the terrain heightfield every substep;
-    no broadphase, no dynamic shapes, inactive points are masked;
-  * per-point blocked projected solve — the Delassus diagonal blocks
-    D_p = J_p M^-1 J_p^T are 3x3; impulses solve D_p dlam = (v* - v) per
-    point in parallel (Jacobi), with mass-splitting (inverse-mass inflation
-    by the number of active points per body) for stability, friction-cone
-    projection, and a fixed number of sweeps.  This is the "blocked per-env
-    QP" of the north star, shaped for the VPU: fixed iteration count, dense
-    masked math, zero data-dependent control flow;
+    no broadphase, inactive points are masked, shapes never change;
+  * body-level Delassus — per-point Jacobians are never materialized
+    (a [B, npt, 3, nv] tensor and its layout copies dominated the naive
+    implementation).  Instead the 6x6 per-body operators
+    Lambda_b = J_b M^-1 J_b^T are computed once and per-point 3x3 effective
+    masses come from D_p = P_p Lambda_b P_p^T with P_p = [-skew(r) | I] —
+    pure elementwise math over points;
+  * per-point blocked projected solve: impulses update via the closed-form
+    3x3 inverse of mass-split Delassus blocks, friction-cone projection,
+    and a fixed unrolled number of Jacobi sweeps with per-body mass
+    splitting.  This is the "blocked per-env QP" of the north star: fixed
+    iteration count, dense masked math, zero data-dependent control flow;
   * Baumgarte pushout capped like PhysX max_depenetration_velocity, and
     restitution gated by bounce_threshold_velocity (envs/T1.yaml:52-53).
 """
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 
 from booster_gym_tpu.math.spatial import skew
 
 
-def point_jacobians(J_body, model, point_pos_w, root_pos):
-    """[npt, 3, nv] world-velocity Jacobian of each collision point."""
-    Jb = J_body[model.point_body]                      # [npt, 6, nv]
-    r = point_pos_w - root_pos                         # [npt, 3]
-    P = jnp.concatenate(
-        [-skew(r), jnp.broadcast_to(jnp.eye(3), (r.shape[0], 3, 3))], axis=-1
-    )                                                  # [npt, 3, 6]
-    return jnp.einsum("pij,pjk->pik", P, Jb)
+def _inv3x3(A):
+    """Closed-form (adjugate) batched 3x3 inverse.
+
+    TPU-critical: jnp.linalg.solve on tiny nested-batched matrices lowers to
+    a pivoted LU that runs ~1000x slower than this pure-VPU arithmetic
+    (measured 33 ms vs <0.1 ms at 512 envs x 72 points)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = c * h - b * i
+    co_c = b * f - c * e
+    det = a * co_a + d * co_b + g * co_c
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            co_a, co_b, co_c,
+            f * g - d * i, a * i - c * g, c * d - a * f,
+            d * h - e * g, b * g - a * h, a * e - b * d,
+        ],
+        axis=-1,
+    ).reshape(A.shape)
+    return adj * inv_det[..., None, None]
+
+
+def _mul_skew_left(r, A):
+    """skew(r) @ A without materializing skew matrices or 3x3 matmuls
+    (nested-batched 3x3 dots lower to ~3 ms convolution fusions on TPU;
+    this is pure elementwise math).  r: [..., 3], A: [..., 3, 3]."""
+    rx, ry, rz = r[..., 0, None], r[..., 1, None], r[..., 2, None]
+    row0 = ry * A[..., 2, :] - rz * A[..., 1, :]
+    row1 = rz * A[..., 0, :] - rx * A[..., 2, :]
+    row2 = rx * A[..., 1, :] - ry * A[..., 0, :]
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def _mul_skew_right(A, r):
+    """A @ skew(r), columns from elementwise combinations."""
+    rx, ry, rz = r[..., 0, None], r[..., 1, None], r[..., 2, None]
+    col0 = A[..., :, 1] * rz - A[..., :, 2] * ry
+    col1 = A[..., :, 2] * rx - A[..., :, 0] * rz
+    col2 = A[..., :, 0] * ry - A[..., :, 1] * rx
+    return jnp.stack([col0, col1, col2], axis=-1)
+
+
+def _body_onehot(model):
+    """Static [npt, nb] one-hot matrix: per-body sums as a matmul instead of
+    a scatter (TPU scatters serialize; this rides the MXU)."""
+    m = np.zeros((model.num_points, model.num_bodies), dtype=np.float32)
+    m[np.arange(model.num_points), model.point_body] = 1.0
+    return m
 
 
 def detect(model, terrain, point_pos_w):
-    """Penetration depth, surface normal and activity mask per point."""
+    """Penetration depth and surface normal per point."""
     xy = point_pos_w[:, :2]
     h = terrain.heights(xy)                            # [npt]
     n = terrain.normals(xy)                            # [npt, 3]
@@ -42,30 +89,49 @@ def detect(model, terrain, point_pos_w):
     return depth, n
 
 
-def solve(cfg, model, shape_friction, shape_restitution, M_cho, J_pts, depth, normal, u_free):
-    """Projected per-point impulse solve.
+def solve(cfg, model, shape_friction, shape_restitution, M_inv, J, phi, u_free,
+          point_pos_w, depth, normal, root_pos):
+    """Projected per-point impulse solve in body-level form.
 
-    Returns (u_new, lam [npt, 3] contact impulses over the substep).
-    """
-    npt, _, nv = J_pts.shape
+    M_inv: [nv, nv], J: [nb, 6, nv] body spatial Jacobians (used only for
+    the once-per-substep Delassus blocks), phi: [nd, 6] joint motion
+    columns for the tree-recursion J applications, u_free: [nv].
+    Returns (u_new, lam [npt, 3], body_forces [nb, 3])."""
+    from booster_gym_tpu.physics.dynamics import apply_J, apply_JT, matvec
+    pb = model.point_body
+    npt = model.num_points
     active = (depth > -cfg.contact_margin).astype(jnp.float32)
+    onehot = jnp.asarray(_body_onehot(model))          # [npt, nb]
 
-    # W = M^-1 J^T, solved once per substep for all candidate points
-    JT = J_pts.reshape(npt * 3, nv).T                  # [nv, npt*3]
-    W = jax.scipy.linalg.cho_solve(M_cho, JT)          # [nv, npt*3]
-    D = jnp.einsum("pij,jpk->pik", J_pts, W.reshape(nv, npt, 3))  # [npt,3,3]
+    r = point_pos_w - root_pos                         # [npt, 3]
+
+    # per-body 6x6 Delassus: Lambda_b = J_b M^-1 J_b^T
+    X = jnp.einsum("nik,kl->nil", J, M_inv)            # [nb, 6, nv]
+    Lam = jnp.einsum("nil,njl->nij", X, J)             # [nb, 6, 6]
+    Lp = Lam[pb]                                       # [npt, 6, 6]
+    Lww, Lwv = Lp[:, :3, :3], Lp[:, :3, 3:]
+    Lvw, Lvv = Lp[:, 3:, :3], Lp[:, 3:, 3:]
+    # D = P Lam P^T with P = [-skew(r) | I]  (skew^T = -skew), expanded to
+    # elementwise skew products
+    D = (Lvv - _mul_skew_right(_mul_skew_left(r, Lww), r)
+         - _mul_skew_left(r, Lwv) + _mul_skew_right(Lvw, r))
 
     # mass splitting: points sharing a body split its effective mass
-    counts = jax.ops.segment_sum(active, model.point_body, model.num_bodies)
-    split = jnp.maximum(counts[model.point_body], 1.0)
+    counts = onehot @ (active @ onehot)
+    split = jnp.maximum(counts, 1.0)
     D_split = D * split[:, None, None] + 1e-8 * jnp.eye(3)
+    D_inv = _inv3x3(D_split)
 
     # combined friction/restitution (PhysX-style averaging)
     mu = 0.5 * (shape_friction[model.point_shape] + cfg.terrain_friction)
     e = 0.5 * (shape_restitution[model.point_shape] + cfg.terrain_restitution)
 
-    # normal-direction velocity target: pushout + restitution
-    v_pre = jnp.einsum("pij,j->pi", J_pts, u_free)
+    def point_velocities(v_bodies):
+        vb = v_bodies[pb]                              # [npt, 6]
+        return vb[:, 3:] + jnp.cross(vb[:, :3], r)
+
+    v_bodies_free = apply_J(model, phi, u_free)
+    v_pre = point_velocities(v_bodies_free)
     v_pre_n = jnp.sum(v_pre * normal, axis=-1)
     pushout = jnp.minimum(
         cfg.baumgarte * jnp.maximum(depth - cfg.contact_slop, 0.0) / cfg.dt,
@@ -74,21 +140,28 @@ def solve(cfg, model, shape_friction, shape_restitution, M_cho, J_pts, depth, no
     bounce = jnp.where(v_pre_n < -cfg.bounce_threshold, -e * v_pre_n, 0.0)
     v_target = normal * jnp.maximum(pushout, bounce)[:, None]
 
-    def sweep(lam, _):
-        u = u_free + W @ lam.reshape(-1)
-        v = jnp.einsum("pij,j->pi", J_pts, u)
-        dlam = jnp.linalg.solve(D_split, (v_target - v)[..., None])[..., 0]
-        lam_new = lam + cfg.relaxation * dlam
-        # friction-cone projection
-        ln = jnp.sum(lam_new * normal, axis=-1)
-        ln = jnp.maximum(ln, 0.0)
+    def wrench(lam):
+        """Aggregate point impulses to per-body spatial wrenches [nb, 6]."""
+        torque = jnp.cross(r, lam)                     # [npt, 3]
+        return jnp.concatenate(
+            [onehot.T @ torque, onehot.T @ lam], axis=-1)
+
+    def project(lam_new):
+        ln = jnp.maximum(jnp.sum(lam_new * normal, axis=-1), 0.0)
         lt = lam_new - jnp.sum(lam_new * normal, axis=-1, keepdims=True) * normal
         lt_norm = jnp.linalg.norm(lt, axis=-1)
         scale = jnp.minimum(1.0, mu * ln / jnp.maximum(lt_norm, 1e-9))
-        lam_new = (normal * ln[:, None] + lt * scale[:, None]) * active[:, None]
-        return lam_new, None
+        return (normal * ln[:, None] + lt * scale[:, None]) * active[:, None]
 
-    lam0 = jnp.zeros((npt, 3))
-    lam, _ = jax.lax.scan(sweep, lam0, None, length=cfg.solver_iterations)
-    u_new = u_free + W @ lam.reshape(-1)
-    return u_new, lam
+    lam = jnp.zeros((npt, 3))
+    for _ in range(cfg.solver_iterations):             # unrolled, fixed count
+        w = wrench(lam)
+        du = matvec(M_inv, apply_JT(model, phi, w))
+        v = point_velocities(v_bodies_free + apply_J(model, phi, du))
+        dlam = jnp.einsum("pij,pj->pi", D_inv, v_target - v)
+        lam = project(lam + cfg.relaxation * dlam)
+
+    w = wrench(lam)
+    u_new = u_free + matvec(M_inv, apply_JT(model, phi, w))
+    body_forces = w[:, 3:] / cfg.dt
+    return u_new, lam, body_forces

@@ -67,6 +67,38 @@ def jacobians(model, anc_mask, body_R, body_pos, root_pos):
     return J, phi
 
 
+def apply_J(model, phi, u):
+    """v_bodies [nb, 6] = J u via the forward tree recursion
+    v_child = v_parent + phi_j * qd_j  —  [6]-vector ops only.
+
+    TPU-critical: the dense einsum form is a batched GEMV that lowers to
+    ~3 ms/substep fusions at 4096 envs; this recursion fuses to nothing."""
+    v0 = jnp.concatenate([u[3:6], u[0:3]])  # u = [v0, w0, qd] -> spatial [w; v]
+    vs = [v0]
+    for b in range(1, model.num_bodies):
+        p = int(model.parent[b])
+        vs.append(vs[p] + phi[b - 1] * u[6 + b - 1])
+    return jnp.stack(vs)
+
+
+def apply_JT(model, phi, w_bodies):
+    """tau [nv] = J^T w via reverse subtree accumulation of wrenches."""
+    acc = [w_bodies[b] for b in range(model.num_bodies)]
+    for b in range(model.num_bodies - 1, 0, -1):
+        p = int(model.parent[b])
+        acc[p] = acc[p] + acc[b]
+    base = jnp.concatenate([acc[0][3:6], acc[0][0:3]])
+    joints = jnp.stack(
+        [jnp.sum(phi[j] * acc[j + 1], axis=-1) for j in range(model.num_dofs)])
+    return jnp.concatenate([base, joints])
+
+
+def matvec(A, x):
+    """[n, n] @ [n] as a broadcast-multiply-reduce (batched GEMV on TPU pads
+    the vector to full lanes; this stays on the VPU)."""
+    return jnp.sum(A * x[None, :], axis=-1)
+
+
 def spatial_inertias(params_mass, params_com, params_inertia, body_R, body_pos, root_pos):
     """Per-body 6x6 spatial inertias at the base origin [nb, 6, 6]."""
     com_w = body_pos - root_pos + jnp.einsum("nij,nj->ni", body_R, params_com)
@@ -79,23 +111,43 @@ def mass_matrix(J, I_sp):
     return jnp.einsum("nik,nij,njl->kl", J, I_sp, J)
 
 
-def bias_forces(model, J, I_sp, u, gravity):
+def _crm_apply(v, m):
+    """crm(v) @ m with v = [w; vo], m = [mw; mv] — explicit cross products
+    (no 6x6 matrices; see apply_J for why)."""
+    w, vo = v[..., :3], v[..., 3:]
+    mw, mv = m[..., :3], m[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, mw), jnp.cross(vo, mw) + jnp.cross(w, mv)], axis=-1)
+
+
+def _crf_apply(v, F):
+    """crf(v) @ F with F = [n; f]: [w x n + vo x f; w x f]."""
+    w, vo = v[..., :3], v[..., 3:]
+    n, f = F[..., :3], F[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, n) + jnp.cross(vo, f), jnp.cross(w, f)], axis=-1)
+
+
+def bias_forces(model, phi, I_sp, u, gravity):
     """Generalized bias C(q, u) including gravity, via velocity-product RNEA.
 
     Same recurrence as Featherstone RBDA eq. 5.14 with qdd = 0 and the
-    gravity trick (base spatial acceleration set to -g).
+    gravity trick (base spatial acceleration set to -g).  All per-body steps
+    are [6]-vector ops (crosses + multiply-reduce) so the batched version
+    fuses on the VPU instead of lowering to batched GEMVs.
     """
     nb = model.num_bodies
-    v = J @ u                                   # [nb, 6]
-    phi_qd = v[1:] - v[model.parent[1:]]        # joint velocity contribution of each body
-    # a_vp recursion, unrolled over the static tree
-    a0 = jnp.concatenate([jnp.zeros(3), -jnp.asarray(gravity)])
-    a = [a0]
+    v_list = [jnp.concatenate([u[3:6], u[0:3]])]
     for b in range(1, nb):
         p = int(model.parent[b])
-        a.append(a[p] + crm(v[b]) @ phi_qd[b - 1])
-    a = jnp.stack(a)                            # [nb, 6]
-    f = jnp.einsum("nij,nj->ni", I_sp, a) + jnp.einsum(
-        "nij,nj->ni", crf(v), jnp.einsum("nij,nj->ni", I_sp, v)
-    )
-    return jnp.einsum("nik,ni->k", J, f)
+        v_list.append(v_list[p] + phi[b - 1] * u[6 + b - 1])
+    a0 = jnp.concatenate([jnp.zeros(3), -jnp.asarray(gravity)])
+    a_list = [a0]
+    for b in range(1, nb):
+        p = int(model.parent[b])
+        a_list.append(a_list[p] + _crm_apply(v_list[b], phi[b - 1] * u[6 + b - 1]))
+    f_list = []
+    for b in range(nb):
+        Iv = matvec(I_sp[b], v_list[b])
+        f_list.append(matvec(I_sp[b], a_list[b]) + _crf_apply(v_list[b], Iv))
+    return apply_JT(model, phi, jnp.stack(f_list))

@@ -14,16 +14,17 @@ import jax.numpy as jnp
 from booster_gym_tpu.math.quat import quat_integrate
 from booster_gym_tpu.physics import contact as contact_mod
 from booster_gym_tpu.physics import dynamics, kinematics
+from booster_gym_tpu.physics.linalg import spd_inverse
 from booster_gym_tpu.physics.types import SimState
 
 
 def _core(model, cfg, anc_mask, root_pos, root_quat, q, dyn_mass, dyn_com, dyn_inertia):
     """Shared single-env pipeline: FK -> Jacobians -> inertias -> M, C."""
     body_R, body_pos = kinematics.forward_kinematics(model, root_pos, root_quat, q)
-    J, _ = dynamics.jacobians(model, anc_mask, body_R, body_pos, root_pos)
+    J, phi = dynamics.jacobians(model, anc_mask, body_R, body_pos, root_pos)
     I_sp = dynamics.spatial_inertias(dyn_mass, dyn_com, dyn_inertia, body_R, body_pos, root_pos)
     M = dynamics.mass_matrix(J, I_sp) + cfg.mass_matrix_reg * jnp.eye(6 + model.num_dofs)
-    return body_R, body_pos, J, I_sp, M
+    return body_R, body_pos, J, phi, I_sp, M
 
 
 def make_forward_dynamics(model, cfg):
@@ -36,12 +37,12 @@ def make_forward_dynamics(model, cfg):
     def single(root_pos, root_quat, v0, w0, q, qd, dyn_mass, dyn_com, dyn_inertia,
                tau, ext_force, ext_torque):
         u = jnp.concatenate([v0, w0, qd])
-        body_R, body_pos, J, I_sp, M = _core(
+        body_R, body_pos, J, phi, I_sp, M = _core(
             model, cfg, anc_mask, root_pos, root_quat, q, dyn_mass, dyn_com, dyn_inertia
         )
-        C = dynamics.bias_forces(model, J, I_sp, u, gravity)
+        C = dynamics.bias_forces(model, phi, I_sp, u, gravity)
         tau_gen = jnp.concatenate([ext_force, ext_torque, tau])
-        udot = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(M), tau_gen - C)
+        udot = dynamics.matvec(spd_inverse(M), tau_gen - C)
         # spatial linear acceleration -> classical: v0_dot = a_o + w0 x v0
         return jnp.concatenate([udot[0:3] + jnp.cross(w0, v0), udot[3:]])
 
@@ -73,21 +74,21 @@ def make_substep(model, cfg, terrain):
     def single(root_pos, root_quat, v0, w0, q, qd, dyn_mass, dyn_com, dyn_inertia,
                shape_friction, shape_restitution, tau, ext_force, ext_torque):
         u = jnp.concatenate([v0, w0, qd])
-        body_R, body_pos, J, I_sp, M = _core(
+        body_R, body_pos, J, phi, I_sp, M = _core(
             model, cfg, anc_mask, root_pos, root_quat, q, dyn_mass, dyn_com, dyn_inertia
         )
-        C = dynamics.bias_forces(model, J, I_sp, u, gravity)
+        C = dynamics.bias_forces(model, phi, I_sp, u, gravity)
         tau_gen = jnp.concatenate([ext_force, ext_torque, tau])
 
-        M_cho = jax.scipy.linalg.cho_factor(M)
-        udot_free = jax.scipy.linalg.cho_solve(M_cho, tau_gen - C)
+        M_inv = spd_inverse(M)
+        udot_free = dynamics.matvec(M_inv, tau_gen - C)
         u_free = u + cfg.dt * udot_free
 
         pts_w = kinematics.point_world_positions(model, body_R, body_pos)
         depth, normal = contact_mod.detect(model, terrain, pts_w)
-        J_pts = contact_mod.point_jacobians(J, model, pts_w, root_pos)
-        u_new, lam = contact_mod.solve(
-            cfg, model, shape_friction, shape_restitution, M_cho, J_pts, depth, normal, u_free
+        u_new, lam, body_forces = contact_mod.solve(
+            cfg, model, shape_friction, shape_restitution, M_inv, J, phi, u_free,
+            pts_w, depth, normal, root_pos,
         )
 
         # classical base acceleration from spatial solution:
@@ -107,8 +108,6 @@ def make_substep(model, cfg, terrain):
 
         root_pos_new = root_pos + cfg.dt * v0_new
         root_quat_new = quat_integrate(root_quat, w0_new, cfg.dt)
-
-        body_forces = jax.ops.segment_sum(lam / cfg.dt, model.point_body, model.num_bodies)
         return (root_pos_new, root_quat_new, v0_new, w0_new, q_new, qd_new), body_forces
 
     batched = jax.vmap(single)
