@@ -38,11 +38,16 @@ def spatial_inertia_at_origin(mass, com_world, inertia_world):
 
         I = [[ I_c - m cx cx,  m cx ],
              [    -m cx,       m 1  ]]
+
+    cx cx is expanded via the identity cx cx = c c^T - |c|^2 I so the whole
+    construction is elementwise (no batched 3x3 matmuls).
     """
     cx = skew(com_world)
     m = mass[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3), cx.shape)
-    top_left = inertia_world - m * (cx @ cx)
+    outer = com_world[..., :, None] * com_world[..., None, :]
+    norm2 = jnp.sum(com_world * com_world, axis=-1)[..., None, None]
+    top_left = inertia_world + m * (norm2 * eye - outer)
     top_right = m * cx
     bottom_left = -m * cx
     bottom_right = m * eye

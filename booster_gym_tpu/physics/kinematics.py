@@ -1,9 +1,13 @@
-"""Forward kinematics over the static topology, single env (vmapped upstream).
+"""Forward kinematics over the static topology, explicitly batched.
 
 Replaces PhysX's rigid-body state tensors (reference: envs/t1.py:203-224
 acquires root/body state from the GPU pipeline) — here body poses are a pure
-function of (root pose, q) with the 13-body tree unrolled at trace time, so
-XLA sees a fixed chain of small fused matmuls.
+function of (root pose, q) with the 13-body tree unrolled at trace time.
+
+All functions take a leading batch axis B.  The code is written batched (no
+jax.vmap): profiling showed vmap's batching rules fragment the unrolled
+small-matrix algebra into slow strided-slice kernels on TPU, while explicit
+batch-leading arrays with trailing static indices fuse cleanly.
 """
 
 import jax.numpy as jnp
@@ -13,17 +17,19 @@ from booster_gym_tpu.math.spatial import skew
 
 
 def _axis_angle_matrix(axis, angle):
-    """Rodrigues rotation about a (constant, unit) axis by a traced angle."""
-    K = skew(axis)
-    s, c = jnp.sin(angle), jnp.cos(angle)
-    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    """Rodrigues rotation about a constant unit axis; angle: [B] -> [B,3,3]."""
+    K = skew(jnp.asarray(axis))                       # [3, 3] constant
+    K2 = K @ K
+    s = jnp.sin(angle)[:, None, None]
+    c1 = (1.0 - jnp.cos(angle))[:, None, None]
+    return jnp.eye(3) + s * K + c1 * K2
 
 
 def forward_kinematics(model, root_pos, root_quat, q):
-    """World pose of every body.
+    """World pose of every body, batched.
 
-    Returns (body_R [nb, 3, 3], body_pos [nb, 3]).  The Python loop is over
-    the static topology — it unrolls into a fixed op graph.
+    root_pos [B,3], root_quat [B,4] wxyz, q [B,nd]
+    -> (body_R [B, nb, 3, 3], body_pos [B, nb, 3]).
     """
     R0 = quat_to_matrix(root_quat)
     body_R = [R0]
@@ -31,32 +37,17 @@ def forward_kinematics(model, root_pos, root_quat, q):
     for i in range(1, model.num_bodies):
         p = int(model.parent[i])
         Rp, pp = body_R[p], body_pos[p]
-        joint_R = Rp @ model.joint_rot[i]
-        pos = pp + Rp @ model.joint_pos[i]
-        R = joint_R @ _axis_angle_matrix(model.joint_axis[i], q[i - 1])
+        joint_R = Rp @ jnp.asarray(model.joint_rot[i], jnp.float32)
+        pos = pp + Rp @ jnp.asarray(model.joint_pos[i], jnp.float32)
+        R = joint_R @ _axis_angle_matrix(model.joint_axis[i], q[:, i - 1])
         body_R.append(R)
         body_pos.append(pos)
-    return jnp.stack(body_R), jnp.stack(body_pos)
-
-
-def body_spatial_velocities(J, u):
-    """Spatial velocities [nb, 6] = J @ u (base-centered coordinates)."""
-    return J @ u
+    return jnp.stack(body_R, axis=1), jnp.stack(body_pos, axis=1)
 
 
 def point_world_positions(model, body_R, body_pos):
-    """World positions of the static collision sample points [npt, 3]."""
-    R = body_R[model.point_body]      # [npt, 3, 3]
-    p = body_pos[model.point_body]    # [npt, 3]
-    return p + jnp.einsum("nij,nj->ni", R, model.point_pos)
-
-
-def point_velocities(v_spatial, root_pos, model, point_pos_w):
-    """World velocity of each collision point.
-
-    v_spatial: [nb, 6] body spatial velocities ([w; v_o] at the base origin).
-    v(x) = v_o + w x (x - p0)
-    """
-    vb = v_spatial[model.point_body]  # [npt, 6]
-    w, vo = vb[:, :3], vb[:, 3:]
-    return vo + jnp.cross(w, point_pos_w - root_pos)
+    """World positions of the static collision sample points [B, npt, 3]."""
+    R = body_R[:, model.point_body]      # [B, npt, 3, 3]
+    p = body_pos[:, model.point_body]    # [B, npt, 3]
+    local = jnp.asarray(model.point_pos, jnp.float32)
+    return p + jnp.einsum("bnij,nj->bni", R, local)
