@@ -1,0 +1,128 @@
+"""Deploy-stack tests against the MockRobot (the test-ladder analog of the
+reference's Webots rung, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+torch = pytest.importorskip("torch")
+
+from booster_gym_tpu.deploy.controller import Controller, ControlMode, UpperBodyMode
+from booster_gym_tpu.deploy.policy import WalkPolicy, mirror_act_matrix, mirror_obs_matrix
+from booster_gym_tpu.deploy.remote_control import ScriptedRemote
+from booster_gym_tpu.deploy.rotate import rotate_vector_inverse_rpy
+from booster_gym_tpu.deploy.sdk import NUM_JOINTS, MockRobot
+from booster_gym_tpu.deploy.timer import Timer, TimerConfig
+
+PRETRAINED = "/root/reference/deploy/models/T1.pt"
+CFG_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "booster_gym_tpu", "deploy", "configs", "T1.yaml")
+
+
+@pytest.fixture(scope="module")
+def deploy_cfg():
+    with open(CFG_PATH) as f:
+        return yaml.safe_load(f)
+
+
+def test_rotate_inverse_rpy():
+    v = rotate_vector_inverse_rpy(0.0, 0.0, np.pi / 2, np.array([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(v, [0.0, -1.0, 0.0], atol=1e-9)
+    v = rotate_vector_inverse_rpy(0.0, np.pi / 2, 0.0, np.array([0.0, 0.0, -1.0]))
+    np.testing.assert_allclose(v, [1.0, 0.0, 0.0], atol=1e-9)
+
+
+def test_timer_sim_ticks():
+    t = Timer(TimerConfig(time_step=0.002))
+    assert t.get_time() == 0.0
+    for _ in range(500):
+        t.tick_timer_if_sim()
+    assert t.get_time() == pytest.approx(1.0)
+
+
+def test_mirror_matrices_are_involutions():
+    mo = mirror_obs_matrix()
+    ma = mirror_act_matrix()
+    np.testing.assert_allclose(mo @ mo, np.eye(42), atol=1e-6)
+    np.testing.assert_allclose(ma @ ma, np.eye(12), atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(PRETRAINED), reason="no pretrained policy")
+def test_walk_policy_obs_and_targets(deploy_cfg):
+    pol = WalkPolicy(deploy_cfg, policy_path=PRETRAINED)
+    dof_pos = np.asarray(deploy_cfg["common"]["default_qpos"], np.float32)
+    targets = pol.inference(
+        time_now=0.02, dof_pos=dof_pos, dof_vel=np.zeros(NUM_JOINTS, np.float32),
+        base_ang_vel=np.zeros(3, np.float32),
+        projected_gravity=np.array([0, 0, -1], np.float32),
+        vx=0.3, vy=0.0, vyaw=0.0)
+    assert targets.shape == (NUM_JOINTS,)
+    # upper body stays at defaults; legs move by bounded actions
+    np.testing.assert_allclose(targets[:11], dof_pos[:11])
+    assert np.all(np.abs(targets[11:] - dof_pos[11:]) <= 1.0 + 1e-6)
+    # command smoothing is rate-limited by the policy interval
+    assert abs(pol.smoothed_commands[0]) <= pol.policy_interval + 1e-6
+
+
+@pytest.mark.skipif(not os.path.exists(PRETRAINED), reason="no pretrained policy")
+def test_controller_against_mock_robot(deploy_cfg):
+    robot = MockRobot(dt=deploy_cfg["common"]["dt"])
+    remote = ScriptedRemote(vx=0.3, auto_start=True)
+    ctrl = Controller(deploy_cfg, robot, remote, policy_path=PRETRAINED, sim_time=True)
+    ctrl.start_custom_mode(wait=False)
+    assert robot.mode_changes == ["custom"]
+    ctrl.start_rl_gait(wait=False, threaded_publisher=False)
+    # drive 100 ms of the control loop by hand: tick robot, infer, publish
+    n_pub = 0
+    for step in range(50):
+        robot.tick()
+        ctrl.run_inference_step()
+        ctrl.publish_step()
+        n_pub += 1
+    assert len(robot.published) >= n_pub
+    last = robot.published[-1]
+    assert np.all(np.isfinite(last))
+    # parallel ankles are torque-commanded: their published q equals the
+    # measured joint position, not the filtered target
+    for i in deploy_cfg["mech"]["parallel_mech_indexes"]:
+        assert last[i] == pytest.approx(robot.q[i], abs=1e-5)
+    ctrl.cleanup()
+
+
+@pytest.mark.skipif(not os.path.exists(PRETRAINED), reason="no pretrained policy")
+def test_fall_detection_stops_controller(deploy_cfg):
+    robot = MockRobot()
+    remote = ScriptedRemote(auto_start=True)
+    ctrl = Controller(deploy_cfg, robot, remote, policy_path=PRETRAINED, sim_time=True)
+    ctrl.start_custom_mode(wait=False)
+    robot.rpy = np.array([1.2, 0.0, 0.0])  # fallen
+    robot.tick()
+    assert ctrl.running is False
+    ctrl.cleanup()
+
+
+@pytest.mark.skipif(not os.path.exists(PRETRAINED), reason="no pretrained policy")
+def test_standup_state_machine(deploy_cfg):
+    robot = MockRobot()
+    remote = ScriptedRemote(auto_start=True)
+    # no standup artifact is shipped; fake it with the walking policy module
+    # wrapped to the standup signature is not possible, so only exercise the
+    # state transitions with standup disabled at the policy level
+    ctrl = Controller(deploy_cfg, robot, remote, policy_path=PRETRAINED, sim_time=True)
+    ctrl.standup_policy = object()  # sentinel: enables the state machine
+    ctrl.start_custom_mode(wait=False)
+    robot.tick()
+    assert ctrl.control_mode is ControlMode.NORMAL
+    robot.rpy = np.array([1.2, 0.0, 0.0])
+    robot.tick()
+    assert ctrl.control_mode is ControlMode.IDLE  # fallen, no request yet
+    remote.request_standup()
+    robot.tick()
+    assert ctrl.control_mode is ControlMode.STANDUP
+    robot.rpy = np.zeros(3)
+    robot.tick()
+    # standup stays latched until operator resets (reference behavior)
+    assert ctrl.control_mode is ControlMode.STANDUP
+    ctrl.cleanup()
