@@ -95,7 +95,7 @@ class T1:
             terrain_restitution=float(cfg["terrain"]["restitution"]),
         )
         self.terrain = Terrain(cfg["terrain"], seed=cfg["basic"].get("seed", 0) or 0)
-        self.substep = make_substep(self.model, self.sim_cfg, self.terrain)
+        self.substep = self._select_backend(cfg)
         self.fk = make_fk(self.model)
 
         # --- PD gains by joint-name substring (envs/t1.py:72-80)
@@ -175,6 +175,23 @@ class T1:
         self.push_duration = int(np.ceil(cfg["randomization"]["push_duration_s"] / self.dt))
         cc = cfg["commands"]
         self.curriculum_shape = (1 + 2 * cc["lin_vel_levels"], 1 + 2 * cc["ang_vel_levels"])
+
+    # ------------------------------------------------------------------
+    def _select_backend(self, cfg):
+        """Pick the physics backend: the Pallas substep kernel (TPU, plane
+        terrain, batch multiple of its tile) runs ~100x faster than the
+        XLA-op engine; everything else falls back to the XLA path."""
+        import jax
+
+        from booster_gym_tpu.physics.pallas_engine import BT, make_substep_pallas
+
+        backend = cfg["sim"].get("backend", "auto")
+        pallas_ok = (
+            self.terrain.type == "plane" and self.num_envs % BT == 0
+            and jax.default_backend() == "tpu")
+        if backend == "pallas" or (backend == "auto" and pallas_ok):
+            return make_substep_pallas(self.model, self.sim_cfg)
+        return make_substep(self.model, self.sim_cfg, self.terrain)
 
     # ------------------------------------------------------------------
     def _compute_env_origins(self):

@@ -9,6 +9,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# Interpreter-mode execution of the ~40k-op kernel over 1024 envs takes tens
+# of minutes on CPU; run with -m slow (tools/validate_pallas_tpu.py does the
+# same comparison compiled on the real chip in seconds — diffs at f32
+# rounding level, validated on v5e).
+pytestmark = pytest.mark.slow
+
 from booster_gym_tpu.physics import SimConfig, SimState, DynParams
 from booster_gym_tpu.physics.engine import make_substep
 from booster_gym_tpu.physics.pallas_engine import make_substep_pallas, BT
