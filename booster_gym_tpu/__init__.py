@@ -22,6 +22,8 @@ Layer map (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # Physics kernels are f32 small-matmul chains; TPU matmuls default to bf16
@@ -29,4 +31,16 @@ import jax as _jax
 # per 3x3 matmul).  Force full f32 matmul precision framework-wide; the RL
 # MLPs are a negligible fraction of the FLOPs so this costs nothing.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# XLA compiles of the physics programs take minutes through this TPU's
+# remote compile service; a persistent cache makes every process after the
+# first start in seconds.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 

@@ -51,7 +51,8 @@ class UpperBodyMode(enum.Enum):
 class Controller:
     def __init__(self, cfg, robot, remote, policy_path=None,
                  enable_standup=False, standup_policy_path=None,
-                 upper_body_mode=UpperBodyMode.POLICY, sim_time=True):
+                 upper_body_mode=UpperBodyMode.POLICY, sim_time=True,
+                 use_native_publisher=False):
         self.cfg = cfg
         self.robot = robot
         self.remote = remote
@@ -83,6 +84,17 @@ class Controller:
         self.running = True
         self.publish_lock = threading.Lock()
         self.publish_runner = None
+
+        self.native_publisher = None
+        if use_native_publisher:
+            from booster_gym_tpu.deploy import native
+
+            if native.available():
+                self.native_publisher = native.NativePublisher(
+                    cfg, teleop_upper_body=upper_body_mode is UpperBodyMode.TELEOP)
+            else:
+                logger.warning(
+                    "native publisher requested but no C++ toolchain; using Python loop")
 
         self.low_cmd = robot.make_low_cmd()
         robot.init_channels(self._low_state_handler)
@@ -232,6 +244,8 @@ class Controller:
         self.robot.publish_low_cmd(self.low_cmd)
 
     def _publish_loop(self):
+        if self.native_publisher is not None:
+            return self._publish_loop_native()
         while self.running:
             time_now = self.timer.get_time()
             if time_now < self.next_publish_time:
@@ -241,6 +255,33 @@ class Controller:
             with self.publish_lock:
                 self.publish_step()
             time.sleep(0.001)
+
+    def _publish_loop_native(self):
+        """Publisher loop backed by the C++ pipeline (deploy/native): the
+        filtering + ankle-conversion math and the 500 Hz pacing run natively;
+        Python only forwards the finished command to the robot backend."""
+        pub = self.native_publisher
+        pub.init_filtered(self.filtered_dof_target)
+        cfg = self.cfg
+
+        def on_command(q, tau, kp_mask):
+            if not self.running:
+                pub.stop()
+                return
+            pub.set_targets(self.dof_target, self.dof_pos_latest)
+            for i in range(NUM_JOINTS):
+                m = self.low_cmd.motor_cmd[i]
+                m.q = float(q[i])
+                m.tau = float(tau[i])
+                if kp_mask[i] == 0.0:
+                    m.kp = 0.0
+                else:
+                    m.kp = cfg["common"]["stiffness"][i]
+            self.robot.publish_low_cmd(self.low_cmd)
+
+        pub.set_targets(self.dof_target, self.dof_pos_latest)
+        overruns = pub.run_loop(on_command, -1)
+        logger.info("native publisher exited (%d deadline overruns)", overruns)
 
     def run(self):
         """Main inference loop body (call repeatedly)."""
