@@ -32,14 +32,18 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # the framework-wide matmul default is HIGHEST (f32, needed by the
+        # physics); the RL MLPs dominate the update FLOPs and are fine at
+        # HIGH (bf16x3 passes, ~1e-6 relative) at roughly half the cost
+        precision = jax.lax.Precision.HIGH
         for f in self.features:
             x = nn.Dense(
                 f, kernel_init=_torch_linear_init,
-                bias_init=_torch_bias_init(x.shape[-1]))(x)
+                bias_init=_torch_bias_init(x.shape[-1]), precision=precision)(x)
             x = nn.elu(x)
         return nn.Dense(
             self.out_dim, kernel_init=_torch_linear_init,
-            bias_init=_torch_bias_init(x.shape[-1]))(x)
+            bias_init=_torch_bias_init(x.shape[-1]), precision=precision)(x)
 
 
 class ActorCritic(nn.Module):

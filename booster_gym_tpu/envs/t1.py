@@ -95,7 +95,6 @@ class T1:
             terrain_restitution=float(cfg["terrain"]["restitution"]),
         )
         self.terrain = Terrain(cfg["terrain"], seed=cfg["basic"].get("seed", 0) or 0)
-        self.substep = self._select_backend(cfg)
         self.fk = make_fk(self.model)
 
         # --- PD gains by joint-name substring (envs/t1.py:72-80)
@@ -176,6 +175,10 @@ class T1:
         cc = cfg["commands"]
         self.curriculum_shape = (1 + 2 * cc["lin_vel_levels"], 1 + 2 * cc["ang_vel_levels"])
 
+        # backend selection last: it needs the feet indices for the
+        # engine-side feet outputs
+        self.substep = self._select_backend(cfg)
+
     # ------------------------------------------------------------------
     def _select_backend(self, cfg):
         """Pick the physics backend: the Pallas substep kernel (TPU, plane
@@ -190,8 +193,10 @@ class T1:
             self.terrain.type == "plane" and self.num_envs % BT == 0
             and jax.default_backend() == "tpu")
         if backend == "pallas" or (backend == "auto" and pallas_ok):
-            return make_substep_pallas(self.model, self.sim_cfg)
-        return make_substep(self.model, self.sim_cfg, self.terrain)
+            return make_substep_pallas(
+                self.model, self.sim_cfg, feet_indices=self.feet_indices)
+        return make_substep(
+            self.model, self.sim_cfg, self.terrain, feet_indices=self.feet_indices)
 
     # ------------------------------------------------------------------
     def _compute_env_origins(self):
@@ -493,10 +498,10 @@ class T1:
             tau = jnp.clip(pd - fric, -self.torque_limits, self.torque_limits)
             ef = jnp.where(i == 0, push_f_w, zeros3)
             et = jnp.where(i == 0, push_t_w, zeros3)
-            sim, forces = self.substep(sim, params.dyn, tau, ef, et)
-            return (sim, last_targets, torque_sum + tau), forces
+            sim, forces, feet_pos, feet_R = self.substep(sim, params.dyn, tau, ef, et)
+            return (sim, last_targets, torque_sum + tau), (forces, feet_pos, feet_R)
 
-        (sim, last_targets, torque_sum), forces_seq = jax.lax.scan(
+        (sim, last_targets, torque_sum), (forces_seq, feet_pos_seq, feet_R_seq) = jax.lax.scan(
             substep_body, (state.sim, state.last_dof_targets, jnp.zeros_like(state.torques)),
             jnp.arange(self.decimation),
         )
@@ -508,7 +513,8 @@ class T1:
         )
 
         # --- post-physics (envs/t1.py:459-497)
-        state = self._refresh_post_physics(params, state)
+        state = self._refresh_post_physics(
+            params, state, feet_pos=feet_pos_seq[-1], feet_R=feet_R_seq[-1])
         state = state.replace(
             episode_length=state.episode_length + 1,
             common_step_counter=state.common_step_counter + 1,
@@ -527,7 +533,7 @@ class T1:
         state = self._teleport_robots(state)
         state = self._resample_commands(state, keys[3])
         # refresh derived quantities for envs that were reset/teleported
-        state = self._refresh_post_physics(params, state, reset_mask)
+        state = self._refresh_post_physics(params, state, reset_mask=reset_mask)
         obs, privileged = self._compute_observations(params, state, keys[4])
 
         state = state.replace(
@@ -545,9 +551,17 @@ class T1:
         return state, obs, rew, reset_mask, info
 
     # ------------------------------------------------------------------
-    def _refresh_post_physics(self, params, state, reset_mask=None):
+    def _refresh_post_physics(self, params, state, feet_pos=None, feet_R=None,
+                              reset_mask=None):
         """Base-frame velocities, EMA filters, feet state
-        (envs/t1.py:463-474, :529-549)."""
+        (envs/t1.py:463-474, :529-549).
+
+        Feet poses normally arrive from the physics engine (no duplicate FK
+        in the env layer); when absent (reset_all) FK runs here.  The
+        post-reset call (reset_mask set) refreshes only base-frame
+        quantities: feet buffers stay pre-reset exactly like the reference,
+        whose body-state tensor is not refreshed between a reset write and
+        the next simulate (envs/t1.py:323-341 + :529)."""
         sim = state.sim
         gravity_vec = jnp.asarray([0.0, 0.0, -1.0])
         base_lin_vel = quat_rotate_inverse(sim.root_quat, sim.root_lin_vel)
@@ -562,16 +576,26 @@ class T1:
             # refresh after reset: don't advance the EMA a second time
             filtered_lin = jnp.where(reset_mask[:, None], 0.0, state.filtered_lin_vel)
             filtered_ang = jnp.where(reset_mask[:, None], 0.0, state.filtered_ang_vel)
+            return state.replace(
+                base_lin_vel=base_lin_vel, base_ang_vel=base_ang_vel,
+                projected_gravity=projected_gravity,
+                filtered_lin_vel=filtered_lin, filtered_ang_vel=filtered_ang,
+            )
 
-        body_R, body_pos = self.fk(sim)
-        feet_R = body_R[:, self.feet_indices]        # [B, 2, 3, 3]
-        feet_pos = body_pos[:, self.feet_indices]    # [B, 2, 3]
+        if feet_pos is None:
+            body_R, body_pos = self.fk(sim)
+            feet_R = body_R[:, self.feet_indices]        # [B, nf, 3, 3]
+            feet_pos = body_pos[:, self.feet_indices]    # [B, nf, 3]
         roll = jnp.arctan2(feet_R[..., 2, 1], feet_R[..., 2, 2])
         yaw = jnp.arctan2(feet_R[..., 1, 0], feet_R[..., 0, 0])
 
-        # edge-point contact detection (envs/t1.py:535-549)
-        edge_w = feet_pos[:, :, None, :] + jnp.einsum(
-            "bfij,ej->bfei", feet_R, self.feet_edge_pos)
+        # edge-point contact detection (envs/t1.py:535-549); merged-batch
+        # matmul (nested-batch einsums lower poorly on TPU)
+        B, nf = feet_pos.shape[:2]
+        Rf = feet_R.reshape(B * nf, 3, 3)
+        edge_w = (feet_pos.reshape(B * nf, 1, 3)
+                  + jnp.einsum("xij,ej->xei", Rf, self.feet_edge_pos)
+                  ).reshape(B, nf, -1, 3)
         heights = self.terrain.heights(edge_w[..., :2])
         feet_contact = jnp.any(edge_w[..., 2] - heights < 0.01, axis=-1)
 
@@ -581,9 +605,6 @@ class T1:
             filtered_lin_vel=filtered_lin, filtered_ang_vel=filtered_ang,
             feet_pos=feet_pos, feet_roll=roll, feet_yaw=yaw,
             feet_contact=feet_contact,
-            last_feet_pos=jnp.where(
-                reset_mask[:, None, None], feet_pos, state.last_feet_pos)
-            if reset_mask is not None else state.last_feet_pos,
         )
 
     # ------------------------------------------------------------------

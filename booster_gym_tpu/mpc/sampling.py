@@ -76,7 +76,7 @@ class SamplingMPC:
             def substep(sim, _):
                 tau = jnp.clip(
                     kp * (targets - sim.q) - kd * sim.qd, -limits, limits)
-                sim, _f = self.env.substep(sim, dyn_k, tau, zeros3, zeros3)
+                sim, *_rest = self.env.substep(sim, dyn_k, tau, zeros3, zeros3)
                 return sim, None
             sim, _ = jax.lax.scan(substep, sim, None, length=self.decimation)
             return sim, self.cost_fn(sim)

@@ -183,11 +183,15 @@ def _swap6(i):
     return i + 3 if i < 3 else i - 3
 
 
-def make_substep_pallas(model, cfg, interpret=False):
+def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
     """Plane-terrain Pallas substep with the same semantics/signature as
     engine.make_substep(model, cfg, plane_terrain).  interpret=True runs the
     kernel in the Pallas interpreter (CPU correctness tests)."""
     nb, nd = model.num_bodies, model.num_dofs
+    if feet_indices is None:
+        feet_indices = [i for i, n in enumerate(model.body_names) if "foot" in n]
+    feet_indices = list(feet_indices)
+    nf = len(feet_indices)
     nv = 6 + nd
     npt = model.num_points
     parent = [int(p) for p in model.parent]
@@ -212,7 +216,7 @@ def make_substep_pallas(model, cfg, interpret=False):
     def kernel(rp_ref, rq_ref, v0_ref, w0_ref, q_ref, qd_ref,
                mass_ref, com_ref, in6_ref, fric_ref, rest_ref,
                tau_ref, ext_ref,
-               o_rp, o_rq, o_v0, o_w0, o_q, o_qd, o_f):
+               o_rp, o_rq, o_v0, o_w0, o_q, o_qd, o_f, o_feet):
         read = lambda ref, k: ref[k, 0]
         p0 = tuple(read(rp_ref, k) for k in range(3))
         quat = tuple(read(rq_ref, k) for k in range(4))
@@ -613,6 +617,13 @@ def make_substep_pallas(model, cfg, interpret=False):
         for b in range(nb):
             for k in range(3):
                 o_f[3 * b + k, 0] = wr[b][1][k] / dt
+        # feet poses for the env layer (start-of-substep FK; one substep
+        # stale relative to the integrated state, <1 mm at walking speeds)
+        for fi, b in enumerate(feet_indices):
+            for k in range(3):
+                o_feet[12 * fi + k, 0] = pos[b][k]
+            for k in range(9):
+                o_feet[12 * fi + 3 + k, 0] = R[b][k]
 
     # ------------------------------------------------------------------
     def pack(x, comp):
@@ -654,6 +665,7 @@ def make_substep_pallas(model, cfg, interpret=False):
             jax.ShapeDtypeStruct((nd, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nd, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb * 3, G, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nf * 12, G, 8, 128), jnp.float32),
         ]
 
         def spec(comp):
@@ -676,6 +688,9 @@ def make_substep_pallas(model, cfg, interpret=False):
             q=unpack(outs[4]), qd=unpack(outs[5]),
         )
         forces = unpack(outs[6]).reshape(B, nb, 3)
-        return new_state, forces
+        feet = unpack(outs[7]).reshape(B, nf, 12)
+        feet_pos = feet[:, :, 0:3]
+        feet_R = feet[:, :, 3:12].reshape(B, nf, 3, 3)
+        return new_state, forces, feet_pos, feet_R
 
     return step

@@ -66,7 +66,7 @@ def rollout(t1_model):
         def body(carry, _):
             st, _ = carry
             tau = jnp.clip(kp_j * (q0 - st.q) - kd_j * st.qd, -lim, lim)
-            st, f = substep(st, dyn, tau, jnp.zeros((B, 3)), jnp.zeros((B, 3)))
+            st, f, *_ = substep(st, dyn, tau, jnp.zeros((B, 3)), jnp.zeros((B, 3)))
             return (st, f), st.root_pos[:, 2]
         (state, forces), heights = jax.lax.scan(
             body, (state, jnp.zeros((B, 13, 3))), None, length=n_steps)

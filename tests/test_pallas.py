@@ -61,8 +61,8 @@ def setups(t1_model):
 
 def test_pallas_matches_xla_substep(setups):
     xla_step, pallas_step, state, dyn, tau, ef, et = setups
-    s_x, f_x = xla_step(state, dyn, tau, ef, et)
-    s_p, f_p = pallas_step(state, dyn, tau, ef, et)
+    s_x, f_x, *_ = xla_step(state, dyn, tau, ef, et)
+    s_p, f_p, *_ = pallas_step(state, dyn, tau, ef, et)
     for name in ("root_pos", "root_quat", "root_lin_vel", "root_ang_vel", "q", "qd"):
         a = np.asarray(getattr(s_x, name))
         b = np.asarray(getattr(s_p, name))
@@ -76,8 +76,8 @@ def test_pallas_multi_substep_stability(setups):
     xla_step, pallas_step, state, dyn, tau, ef, et = setups
     s_x = s_p = state
     for _ in range(10):
-        s_x, _ = xla_step(s_x, dyn, tau, ef, et)
-        s_p, _ = pallas_step(s_p, dyn, tau, ef, et)
+        s_x, _, *_ = xla_step(s_x, dyn, tau, ef, et)
+        s_p, _, *_ = pallas_step(s_p, dyn, tau, ef, et)
     assert np.all(np.isfinite(np.asarray(s_p.q)))
     np.testing.assert_allclose(
         np.asarray(s_p.root_pos), np.asarray(s_x.root_pos), atol=5e-3)

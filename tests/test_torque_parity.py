@@ -83,7 +83,7 @@ def midwalk_replay(t1_model):
         for _ in range(DEC):
             tau = jnp.clip(kp * (tgt - state.q) - kd * state.qd, -lim, lim)
             tau_ours.append(np.asarray(tau)[0])
-            state, _ = substep(state, dyn, tau, jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+            state, *_ = substep(state, dyn, tau, jnp.zeros((1, 3)), jnp.zeros((1, 3)))
         q_ours.append(np.asarray(state.q)[0])
     return np.asarray(q_ours), np.asarray(q_mj), np.asarray(tau_ours), np.asarray(ctrl_mj)
 

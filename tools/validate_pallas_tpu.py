@@ -46,7 +46,7 @@ def main(B=4096):
     et = jnp.asarray(rng.uniform(-1, 1, (B, 3)), jnp.float32)
 
     pstep = jax.jit(make_substep_pallas(model, cfg))
-    s_p, f_p = jax.block_until_ready(pstep(state, dyn, tau, ef, et))
+    s_p, f_p, *_ = jax.block_until_ready(pstep(state, dyn, tau, ef, et))
     t0 = time.time()
     for _ in range(100):
         out = pstep(state, dyn, tau, ef, et)
@@ -55,7 +55,7 @@ def main(B=4096):
     print(f"pallas substep: {dt * 1e3:.3f} ms -> {B / dt / 10:,.0f} env-steps/s equiv")
 
     xstep = jax.jit(make_substep(model, cfg, terrain))
-    s_x, f_x = jax.block_until_ready(xstep(state, dyn, tau, ef, et))
+    s_x, f_x, *_ = jax.block_until_ready(xstep(state, dyn, tau, ef, et))
     ok = True
     for name in ("root_pos", "root_quat", "root_lin_vel", "root_ang_vel", "q", "qd"):
         d = float(np.abs(np.asarray(getattr(s_x, name)) - np.asarray(getattr(s_p, name))).max())
