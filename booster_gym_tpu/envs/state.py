@@ -78,3 +78,8 @@ class EnvState(struct.PyTreeNode):
     base_lin_vel: jnp.ndarray         # [B, 3]
     base_ang_vel: jnp.ndarray         # [B, 3]
     projected_gravity: jnp.ndarray    # [B, 3]
+
+    # terrain height/normal at each contact point, carried one substep stale
+    # for the Pallas trimesh path (zeros/z on plane terrain or the XLA path)
+    point_heights: jnp.ndarray        # [B, npt]
+    point_normals: jnp.ndarray        # [B, npt, 3]

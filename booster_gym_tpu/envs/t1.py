@@ -190,9 +190,9 @@ class T1:
 
         backend = cfg["sim"].get("backend", "auto")
         pallas_ok = (
-            self.terrain.type == "plane" and self.num_envs % BT == 0
-            and jax.default_backend() == "tpu")
-        if backend == "pallas" or (backend == "auto" and pallas_ok):
+            self.num_envs % BT == 0 and jax.default_backend() == "tpu")
+        self.pallas_backend = backend == "pallas" or (backend == "auto" and pallas_ok)
+        if self.pallas_backend:
             return make_substep_pallas(
                 self.model, self.sim_cfg, feet_indices=self.feet_indices)
         return make_substep(
@@ -308,6 +308,8 @@ class T1:
             contact_forces=z((B, nb, 3)),
             base_lin_vel=z((B, 3)), base_ang_vel=z((B, 3)),
             projected_gravity=jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (B, 1)),
+            point_heights=z((B, self.model.num_points)),
+            point_normals=z((B, self.model.num_points, 3)).at[:, :, 2].set(1.0),
         )
 
     def reset_all(self, params, key):
@@ -317,6 +319,7 @@ class T1:
         key, k1, k2 = jax.random.split(state.key, 3)
         state = state.replace(key=key)
         state = self._reset_envs(params, state, mask, k1)
+        state = self._refresh_point_terrain(state)
         state = self._refresh_post_physics(params, state)
         state = state.replace(
             filtered_lin_vel=jnp.zeros_like(state.filtered_lin_vel),
@@ -332,6 +335,19 @@ class T1:
             "rew_terms": {k: jnp.zeros(self.num_envs) for k in self.reward_scales},
         }
         return state, obs, info
+
+    # ------------------------------------------------------------------
+    def _refresh_point_terrain(self, state):
+        """Initialize the carried per-point terrain heights/normals from the
+        current pose (reset_all only; during stepping they ride one substep
+        stale through the rollout scan — see pallas_engine)."""
+        from booster_gym_tpu.physics.kinematics import point_world_positions
+
+        body_R, body_pos = self.fk(state.sim)
+        pts = point_world_positions(self.model, body_R, body_pos)
+        return state.replace(
+            point_heights=self.terrain.heights(pts[..., :2]),
+            point_normals=self.terrain.normals(pts[..., :2]))
 
     # ------------------------------------------------------------------
     def _reset_envs(self, params, state, mask, key):
@@ -489,8 +505,9 @@ class T1:
         push_t_w = quat_rotate(state.sim.root_quat, state.push_torque)
         zeros3 = jnp.zeros_like(push_f_w)
 
-        def substep_body(carry, i):
-            sim, last_targets, torque_sum = carry
+        # (structured without closures over traced values: inline the loop)
+        def loop_body(carry, i):
+            sim, last_targets, torque_sum, ph, pn = carry
             last_targets = jnp.where(
                 (state.delay_steps == i)[:, None], dof_targets, last_targets)
             pd = params.dof_stiffness * (last_targets - sim.q) - params.dof_damping * sim.qd
@@ -498,11 +515,19 @@ class T1:
             tau = jnp.clip(pd - fric, -self.torque_limits, self.torque_limits)
             ef = jnp.where(i == 0, push_f_w, zeros3)
             et = jnp.where(i == 0, push_t_w, zeros3)
-            sim, forces, feet_pos, feet_R = self.substep(sim, params.dyn, tau, ef, et)
-            return (sim, last_targets, torque_sum + tau), (forces, feet_pos, feet_R)
+            if self.pallas_backend:
+                sim, forces, feet_pos, feet_R, pt_xy = self.substep.terrain_form(
+                    sim, params.dyn, tau, ef, et, ph, pn)
+                ph = self.terrain.heights(pt_xy)
+                pn = self.terrain.normals(pt_xy)
+            else:
+                sim, forces, feet_pos, feet_R = self.substep(sim, params.dyn, tau, ef, et)
+            return (sim, last_targets, torque_sum + tau, ph, pn), (forces, feet_pos, feet_R)
 
-        (sim, last_targets, torque_sum), (forces_seq, feet_pos_seq, feet_R_seq) = jax.lax.scan(
-            substep_body, (state.sim, state.last_dof_targets, jnp.zeros_like(state.torques)),
+        (sim, last_targets, torque_sum, ph, pn), (forces_seq, feet_pos_seq, feet_R_seq) = jax.lax.scan(
+            loop_body,
+            (state.sim, state.last_dof_targets, jnp.zeros_like(state.torques),
+             state.point_heights, state.point_normals),
             jnp.arange(self.decimation),
         )
         state = state.replace(
@@ -510,6 +535,7 @@ class T1:
             last_dof_targets=last_targets,
             torques=torque_sum / self.decimation,
             contact_forces=forces_seq[-1],
+            point_heights=ph, point_normals=pn,
         )
 
         # --- post-physics (envs/t1.py:459-497)

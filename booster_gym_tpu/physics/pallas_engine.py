@@ -215,8 +215,8 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
 
     def kernel(rp_ref, rq_ref, v0_ref, w0_ref, q_ref, qd_ref,
                mass_ref, com_ref, in6_ref, fric_ref, rest_ref,
-               tau_ref, ext_ref,
-               o_rp, o_rq, o_v0, o_w0, o_q, o_qd, o_f, o_feet):
+               tau_ref, ext_ref, h_ref, n_ref,
+               o_rp, o_rq, o_v0, o_w0, o_q, o_qd, o_f, o_feet, o_ptxy):
         read = lambda ref, k: ref[k, 0]
         p0 = tuple(read(rp_ref, k) for k in range(3))
         quat = tuple(read(rq_ref, k) for k in range(4))
@@ -429,20 +429,25 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
                     Lb[(rr, ss)] = val
             Lam.append(Lb)
 
-        # per-point data
+        # per-point data; terrain height + normal per point arrive as inputs
+        # (plane: h = 0, n = z; trimesh: gathered by the env between substeps,
+        # one substep stale — sub-mm at walking speeds)
         pt_pos = []
         pt_r = []
         pt_depth = []
         pt_active = []
+        pt_n = []
         for p in range(npt):
             b = int(model.point_body[p])
             lp = tuple(float(x) for x in point_local[p])
             wp = v_add(pos[b], m_vec(R[b], lp))
             pt_pos.append(wp)
             pt_r.append(v_sub(wp, p0))
-            d = float(point_radius[p]) - wp[2]
+            h_p = read(h_ref, p)
+            d = h_p + float(point_radius[p]) - wp[2]
             pt_depth.append(d)
             pt_active.append((d > -cfg.contact_margin).astype(jnp.float32))
+            pt_n.append(tuple(read(n_ref, 3 * p + k) for k in range(3)))
 
         counts = []
         for b in range(nb):
@@ -526,12 +531,14 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             sh = point_shape[p]
             mu.append(0.5 * (read(fric_ref, sh) + cfg.terrain_friction))
             rest.append(0.5 * (read(rest_ref, sh) + cfg.terrain_restitution))
-            vz_pre = point_vel(v_free_bodies, p)[2]
+            nrm = pt_n[p]
+            vn_pre = v_dot(point_vel(v_free_bodies, p), nrm)
             pushout = jnp.minimum(
                 cfg.baumgarte * jnp.maximum(pt_depth[p] - cfg.contact_slop, 0.0) / dt,
                 cfg.max_pushout_vel)
-            bounce = jnp.where(vz_pre < -cfg.bounce_threshold, -rest[p] * vz_pre, 0.0)
-            vt_z.append(jnp.maximum(pushout, bounce))
+            bounce = jnp.where(vn_pre < -cfg.bounce_threshold, -rest[p] * vn_pre, 0.0)
+            s_n = jnp.maximum(pushout, bounce)
+            vt_z.append(v_scale(nrm, s_n))  # full target velocity vector
 
         lam = [(z, z, z) for _ in range(npt)]
 
@@ -561,19 +568,23 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             new_lam = []
             for p in range(npt):
                 vp = point_vel(vb, p)
-                dv = (-vp[0], -vp[1], vt_z[p] - vp[2])
+                vt = vt_z[p]
+                dv = (vt[0] - vp[0], vt[1] - vp[1], vt[2] - vp[2])
                 Di = Dinv[p]
                 dl = tuple(
                     Di[i][0] * dv[0] + Di[i][1] * dv[1] + Di[i][2] * dv[2]
                     for i in range(3))
-                lx = lam[p][0] + cfg.relaxation * dl[0]
-                ly = lam[p][1] + cfg.relaxation * dl[1]
-                lz = lam[p][2] + cfg.relaxation * dl[2]
-                ln = jnp.maximum(lz, 0.0)
-                lt = jnp.sqrt(lx * lx + ly * ly + 1e-18)
+                l_new = tuple(lam[p][k] + cfg.relaxation * dl[k] for k in range(3))
+                # friction-cone projection about the terrain normal
+                nrm = pt_n[p]
+                ldn = v_dot(l_new, nrm)
+                ln = jnp.maximum(ldn, 0.0)
+                lt_vec = v_sub(l_new, v_scale(nrm, ldn))
+                lt = jnp.sqrt(lt_vec[0] ** 2 + lt_vec[1] ** 2 + lt_vec[2] ** 2 + 1e-18)
                 scale = jnp.minimum(1.0, mu[p] * ln / lt)
                 a_p = pt_active[p]
-                new_lam.append((lx * scale * a_p, ly * scale * a_p, ln * a_p))
+                new_lam.append(tuple(
+                    (nrm[k] * ln + lt_vec[k] * scale) * a_p for k in range(3)))
             lam = new_lam
 
         wr, du = wrench_and_du(lam)
@@ -624,6 +635,11 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
                 o_feet[12 * fi + k, 0] = pos[b][k]
             for k in range(9):
                 o_feet[12 * fi + 3 + k, 0] = R[b][k]
+        # contact-point xy for the env's terrain gather feeding the next
+        # substep's h/n inputs
+        for p in range(npt):
+            o_ptxy[2 * p, 0] = pt_pos[p][0]
+            o_ptxy[2 * p + 1, 0] = pt_pos[p][1]
 
     # ------------------------------------------------------------------
     def pack(x, comp):
@@ -636,7 +652,11 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
         comp = x.shape[0]
         return x.reshape(comp, -1).T
 
-    def step(state: SimState, dyn, tau, ext_force, ext_torque):
+    def step_terrain(state: SimState, dyn, tau, ext_force, ext_torque,
+                     point_heights, point_normals):
+        """General form: per-point terrain heights [B, npt] and normals
+        [B, npt, 3] as inputs; also returns the contact-point xy [B, npt, 2]
+        for the caller's terrain gather feeding the next substep."""
         B = state.q.shape[0]
         assert B % BT == 0, f"pallas path needs num_envs % {BT} == 0, got {B}"
         G = B // BT
@@ -656,6 +676,8 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             pack(dyn.shape_restitution, dyn.shape_restitution.shape[1]),
             pack(tau, nd),
             pack(jnp.concatenate([ext_force, ext_torque], axis=-1), 6),
+            pack(point_heights, npt),
+            pack(point_normals.reshape(B, npt * 3), npt * 3),
         ]
         out_shapes = [
             jax.ShapeDtypeStruct((3, G, 8, 128), jnp.float32),
@@ -666,6 +688,7 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             jax.ShapeDtypeStruct((nd, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb * 3, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nf * 12, G, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((npt * 2, G, 8, 128), jnp.float32),
         ]
 
         def spec(comp):
@@ -691,6 +714,16 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
         feet = unpack(outs[7]).reshape(B, nf, 12)
         feet_pos = feet[:, :, 0:3]
         feet_R = feet[:, :, 3:12].reshape(B, nf, 3, 3)
-        return new_state, forces, feet_pos, feet_R
+        pt_xy = unpack(outs[8]).reshape(B, npt, 2)
+        return new_state, forces, feet_pos, feet_R, pt_xy
 
+    def step(state: SimState, dyn, tau, ext_force, ext_torque):
+        """Plane-terrain form matching engine.make_substep's signature."""
+        B = state.q.shape[0]
+        h = jnp.zeros((B, npt))
+        n = jnp.zeros((B, npt, 3)).at[:, :, 2].set(1.0)
+        out = step_terrain(state, dyn, tau, ext_force, ext_torque, h, n)
+        return out[0], out[1], out[2], out[3]
+
+    step.terrain_form = step_terrain
     return step
