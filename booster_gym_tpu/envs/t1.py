@@ -507,7 +507,7 @@ class T1:
 
         # (structured without closures over traced values: inline the loop)
         def loop_body(carry, i):
-            sim, last_targets, torque_sum, ph, pn = carry
+            sim, last_targets, torque_sum, _pt_xy = carry
             last_targets = jnp.where(
                 (state.delay_steps == i)[:, None], dof_targets, last_targets)
             pd = params.dof_stiffness * (last_targets - sim.q) - params.dof_damping * sim.qd
@@ -516,18 +516,20 @@ class T1:
             ef = jnp.where(i == 0, push_f_w, zeros3)
             et = jnp.where(i == 0, push_t_w, zeros3)
             if self.pallas_backend:
-                sim, forces, feet_pos, feet_R, pt_xy = self.substep.terrain_form(
-                    sim, params.dyn, tau, ef, et, ph, pn)
-                ph = self.terrain.heights(pt_xy)
-                pn = self.terrain.normals(pt_xy)
+                # terrain h/n held fixed across the control step (TPU gathers
+                # cost ~4 ms; staleness <= 20 ms of motion, sub-cm heights)
+                sim, forces, feet_pos, feet_R, pt_xy_new = self.substep.terrain_form(
+                    sim, params.dyn, tau, ef, et,
+                    state.point_heights, state.point_normals)
             else:
                 sim, forces, feet_pos, feet_R = self.substep(sim, params.dyn, tau, ef, et)
-            return (sim, last_targets, torque_sum + tau, ph, pn), (forces, feet_pos, feet_R)
+                pt_xy_new = pt_xy0
+            return (sim, last_targets, torque_sum + tau, pt_xy_new), (forces, feet_pos, feet_R)
 
-        (sim, last_targets, torque_sum, ph, pn), (forces_seq, feet_pos_seq, feet_R_seq) = jax.lax.scan(
+        pt_xy0 = jnp.zeros((self.num_envs, self.model.num_points, 2))
+        (sim, last_targets, torque_sum, pt_xy), (forces_seq, feet_pos_seq, feet_R_seq) = jax.lax.scan(
             loop_body,
-            (state.sim, state.last_dof_targets, jnp.zeros_like(state.torques),
-             state.point_heights, state.point_normals),
+            (state.sim, state.last_dof_targets, jnp.zeros_like(state.torques), pt_xy0),
             jnp.arange(self.decimation),
         )
         state = state.replace(
@@ -535,8 +537,10 @@ class T1:
             last_dof_targets=last_targets,
             torques=torque_sum / self.decimation,
             contact_forces=forces_seq[-1],
-            point_heights=ph, point_normals=pn,
         )
+        if self.pallas_backend:
+            ph_new, pn_new = self.terrain.heights_and_normals(pt_xy)
+            state = state.replace(point_heights=ph_new, point_normals=pn_new)
 
         # --- post-physics (envs/t1.py:459-497)
         state = self._refresh_post_physics(
@@ -556,7 +560,17 @@ class T1:
 
         reset_mask = state.reset_buf
         state = self._reset_envs(params, state, reset_mask, keys[2])
-        state = self._teleport_robots(state)
+        state, moved_mask = self._teleport_robots(state)
+        if self.pallas_backend:
+            # contact-point terrain of reset/teleported envs is stale by a
+            # whole step; approximate with the terrain under the (new) root
+            fix = reset_mask | moved_mask
+            h_root, n_root = self.terrain.heights_and_normals(state.sim.root_pos[:, :2])
+            state = state.replace(
+                point_heights=jnp.where(
+                    fix[:, None], h_root[:, None], state.point_heights),
+                point_normals=jnp.where(
+                    fix[:, None, None], n_root[:, None, :], state.point_normals))
         state = self._resample_commands(state, keys[3])
         # refresh derived quantities for envs that were reset/teleported
         state = self._refresh_post_physics(params, state, reset_mask=reset_mask)
@@ -679,9 +693,10 @@ class T1:
         return state.replace(reset_buf=reset, time_out_buf=time_out)
 
     def _teleport_robots(self, state):
-        """Wrap robots that walked off the terrain (envs/t1.py:343-359)."""
+        """Wrap robots that walked off the terrain (envs/t1.py:343-359).
+        Returns (state, moved_mask)."""
         if self.terrain.type == "plane":
-            return state
+            return state, jnp.zeros(self.num_envs, bool)
         t = self.terrain
         pos = state.sim.root_pos
         shift_x = (t.env_width + t.border_size) * (
@@ -691,7 +706,8 @@ class T1:
             (pos[:, 1] < -0.75 * t.border_size).astype(jnp.float32)
             - (pos[:, 1] > t.env_length + 0.75 * t.border_size).astype(jnp.float32))
         new_pos = pos.at[:, 0].add(shift_x).at[:, 1].add(shift_y)
-        return state.replace(sim=state.sim.replace(root_pos=new_pos))
+        state = state.replace(sim=state.sim.replace(root_pos=new_pos))
+        return state, (shift_x != 0) | (shift_y != 0)
 
     # ------------------------------------------------------------------
     def _compute_observations(self, params, state, key):

@@ -159,6 +159,32 @@ class Terrain:
             + (1 - fx) * fy * h12 + fx * fy * h22
         )
 
+    def heights_and_normals(self, xy):
+        """Fused single-pass bilinear height + surface normal (shares the 4
+        corner gathers — TPU gathers are the expensive part, ~12 ns/elem)."""
+        if self.height_field is None:
+            h = jnp.zeros(xy.shape[:-1], dtype=jnp.float32)
+            n = jnp.zeros(xy.shape[:-1] + (3,), dtype=jnp.float32)
+            return h, n.at[..., 2].set(1.0)
+        hf = self.height_field
+        x = self.border_pixels + xy[..., 0] / self.horizontal_scale
+        y = self.border_pixels + xy[..., 1] / self.horizontal_scale
+        x = jnp.clip(x, 0.0, hf.shape[0] - 1.001)
+        y = jnp.clip(y, 0.0, hf.shape[1] - 1.001)
+        x1 = jnp.floor(x).astype(jnp.int32)
+        y1 = jnp.floor(y).astype(jnp.int32)
+        fx, fy = x - x1, y - y1
+        h11 = hf[x1, y1]
+        h21 = hf[x1 + 1, y1]
+        h12 = hf[x1, y1 + 1]
+        h22 = hf[x1 + 1, y1 + 1]
+        h = ((1 - fx) * (1 - fy) * h11 + fx * (1 - fy) * h21
+             + (1 - fx) * fy * h12 + fx * fy * h22)
+        dhdx = ((1 - fy) * (h21 - h11) + fy * (h22 - h12)) / self.horizontal_scale
+        dhdy = ((1 - fx) * (h12 - h11) + fx * (h22 - h21)) / self.horizontal_scale
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+        return h, n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
     def normals(self, xy):
         """Surface normal of the bilinear patch at world xy [..., 2] -> [..., 3]."""
         if self.height_field is None:
