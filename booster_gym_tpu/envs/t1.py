@@ -150,6 +150,11 @@ class T1:
             [s for f in self.feet_indices for s in self.model.shape_indices_of_body(int(f))],
             dtype=np.int32,
         )
+        self._foot_point_indices = np.array(
+            [p for p in range(self.model.num_points)
+             if self.model.point_body[p] in self.feet_indices],
+            dtype=np.int32,
+        )
         self.feet_edge_pos = jnp.asarray(cfg["asset"]["feet_edge_pos"], jnp.float32)
 
         # --- init state (envs/T1.yaml:84-89; rot stored xyzw there)
@@ -538,9 +543,7 @@ class T1:
             torques=torque_sum / self.decimation,
             contact_forces=forces_seq[-1],
         )
-        if self.pallas_backend:
-            ph_new, pn_new = self.terrain.heights_and_normals(pt_xy)
-            state = state.replace(point_heights=ph_new, point_normals=pn_new)
+        # (pt_xy from the last substep feeds the terrain refresh after resets)
 
         # --- post-physics (envs/t1.py:459-497)
         state = self._refresh_post_physics(
@@ -562,15 +565,23 @@ class T1:
         state = self._reset_envs(params, state, reset_mask, keys[2])
         state, moved_mask = self._teleport_robots(state)
         if self.pallas_backend:
-            # contact-point terrain of reset/teleported envs is stale by a
-            # whole step; approximate with the terrain under the (new) root
+            # refresh the carried contact-point terrain once per control
+            # step.  TPU gathers cost ~12 ns/element, so only the foot box
+            # corners get exact heights/normals; every other collision proxy
+            # (knees/shanks/trunk — they only touch terrain when the robot
+            # is already falling) uses the terrain under the root.  Reset or
+            # teleported envs fall back to the root value everywhere.
             fix = reset_mask | moved_mask
+            B = self.num_envs
             h_root, n_root = self.terrain.heights_and_normals(state.sim.root_pos[:, :2])
-            state = state.replace(
-                point_heights=jnp.where(
-                    fix[:, None], h_root[:, None], state.point_heights),
-                point_normals=jnp.where(
-                    fix[:, None, None], n_root[:, None, :], state.point_normals))
+            fp = self._foot_point_indices
+            h_f, n_f = self.terrain.heights_and_normals(pt_xy[:, fp])
+            ph = jnp.broadcast_to(h_root[:, None], (B, self.model.num_points))
+            ph = ph.at[:, fp].set(jnp.where(fix[:, None], h_root[:, None], h_f))
+            pn = jnp.broadcast_to(n_root[:, None, :], (B, self.model.num_points, 3))
+            pn = pn.at[:, fp].set(
+                jnp.where(fix[:, None, None], n_root[:, None, :], n_f))
+            state = state.replace(point_heights=ph, point_normals=pn)
         state = self._resample_commands(state, keys[3])
         # refresh derived quantities for envs that were reset/teleported
         state = self._refresh_post_physics(params, state, reset_mask=reset_mask)
