@@ -18,7 +18,6 @@ serial joints so code is portable between backends.
 
 import dataclasses
 import threading
-import time
 from typing import Callable, List, Optional
 
 import numpy as np

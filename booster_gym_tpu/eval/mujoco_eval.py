@@ -149,6 +149,25 @@ class MujocoEval:
         self.iteration += 1
         return ctrl
 
+    def save_state(self):
+        """Snapshot the full simulation state (play_mujoco.py:300-331)."""
+        return {
+            "qpos": self.data.qpos.copy(), "qvel": self.data.qvel.copy(),
+            "actions": self.actions.copy(), "dof_targets": self.dof_targets.copy(),
+            "gait_frequency": self.gait_frequency,
+            "gait_process": self.gait_process, "iteration": self.iteration,
+        }
+
+    def restore_state(self, snap):
+        self.data.qpos[:] = snap["qpos"]
+        self.data.qvel[:] = snap["qvel"]
+        self.mujoco.mj_forward(self.model, self.data)
+        self.actions[:] = snap["actions"]
+        self.dof_targets[:] = snap["dof_targets"]
+        self.gait_frequency = snap["gait_frequency"]
+        self.gait_process = snap["gait_process"]
+        self.iteration = snap["iteration"]
+
     def run(self, seconds, commands=(0.0, 0.0, 0.0), gait_frequency=1.5):
         """Run closed-loop; returns a trajectory dict of stacked arrays."""
         self.gait_frequency = gait_frequency

@@ -8,7 +8,6 @@ checkpointing.  There is no sim-device/rl-device copy boundary
 accelerator.
 """
 
-import os
 import random
 
 import numpy as np

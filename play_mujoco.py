@@ -62,9 +62,38 @@ def main():
     if args.interactive:
         import mujoco.viewer
 
-        with mujoco.viewer.launch_passive(ev.model, ev.data) as viewer:
+        cmd = np.array([args.vx, args.vy, args.vyaw], np.float32)
+        saved = {"snap": None}
+
+        def on_key(keycode):
+            # w/s: vx, a/d: vy, q/e: yaw, space: stop, z/x: save/load state,
+            # r: reset (the reference's keyboard map, play_mujoco.py:139-278)
+            c = chr(keycode).lower() if 0 <= keycode < 256 else ""
+            if c == "w":
+                cmd[0] += 0.1
+            elif c == "s":
+                cmd[0] -= 0.1
+            elif c == "a":
+                cmd[1] += 0.1
+            elif c == "d":
+                cmd[1] -= 0.1
+            elif c == "q":
+                cmd[2] += 0.1
+            elif c == "e":
+                cmd[2] -= 0.1
+            elif c == " ":
+                cmd[:] = 0.0
+            elif c == "z":
+                saved["snap"] = ev.save_state()
+            elif c == "x" and saved["snap"] is not None:
+                ev.restore_state(saved["snap"])
+            elif c == "r":
+                ev.reset()
+
+        with mujoco.viewer.launch_passive(
+                ev.model, ev.data, key_callback=on_key) as viewer:
             while viewer.is_running():
-                ev.substep(np.array([args.vx, args.vy, args.vyaw], np.float32))
+                ev.substep(cmd)
                 viewer.cam.lookat[:] = ev.data.qpos[:3]
                 viewer.sync()
         return
