@@ -342,6 +342,58 @@ class T1:
         return state, obs, info
 
     # ------------------------------------------------------------------
+    def _physics_inner_loop_packed(self, params, state, dof_targets,
+                                   push_f_w, push_t_w):
+        """Decimation loop entirely in the Pallas kernel's packed layout:
+        state, PD math, and delay latching stay [comp, G, 8, 128] across all
+        substeps — packing/unpacking happens once per control step instead
+        of once per substep (~11 ms/iter saved at 4096 envs)."""
+        sub = self.substep
+        nd = self.model.num_dofs
+        B = self.num_envs
+        pack = sub.pack
+        psim = sub.pack_sim(state.sim)
+        pdyn = sub.pack_dyn(params.dyn)
+        p_targets = pack(dof_targets, nd)
+        p_last = pack(state.last_dof_targets, nd)
+        p_kp = pack(params.dof_stiffness, nd)
+        p_kd = pack(params.dof_damping, nd)
+        p_fric = pack(params.dof_friction, nd)
+        p_delay = pack(state.delay_steps.astype(jnp.int32)[:, None], 1)
+        p_ext = pack(jnp.concatenate([push_f_w, push_t_w], axis=-1), 6)
+        p_ext0 = jnp.zeros_like(p_ext)
+        ph = pack(state.point_heights, self.model.num_points)
+        pn = pack(state.point_normals.reshape(B, -1), self.model.num_points * 3)
+        lim = jnp.asarray(self.torque_limits)[:, None, None, None]
+
+        def body(carry, i):
+            psim, p_last, p_tsum = carry
+            latch = p_delay[0] == i                      # [G, 8, 128] bool
+            p_last = jnp.where(latch[None], p_targets, p_last)
+            pd = p_kp * (p_last - psim[4]) - p_kd * psim[5]
+            fric = jnp.minimum(jnp.abs(pd), p_fric) * jnp.sign(pd)
+            p_tau = jnp.clip(pd - fric, -lim, lim)
+            ext = jnp.where(i == 0, p_ext, p_ext0)
+            psim, pforces, pfeet, pptxy = sub.packed_call(
+                psim, pdyn, p_tau, ext, ph, pn)
+            return (psim, p_last, p_tsum + p_tau), (pforces, pfeet, pptxy)
+
+        (psim, p_last, p_tsum), (pf_seq, pfeet_seq, pptxy_seq) = jax.lax.scan(
+            body, (psim, p_last, jnp.zeros_like(p_targets)),
+            jnp.arange(self.decimation))
+
+        sim = sub.unpack_sim(psim)
+        last_targets = sub.unpack(p_last)
+        torques = sub.unpack(p_tsum) / self.decimation
+        nb, nf = self.model.num_bodies, len(self.feet_indices)
+        forces = sub.unpack(pf_seq[-1]).reshape(B, nb, 3)
+        feet = sub.unpack(pfeet_seq[-1]).reshape(B, nf, 12)
+        feet_pos = feet[:, :, 0:3]
+        feet_R = feet[:, :, 3:12].reshape(B, nf, 3, 3)
+        pt_xy = sub.unpack(pptxy_seq[-1]).reshape(B, self.model.num_points, 2)
+        return sim, last_targets, torques, forces, feet_pos, feet_R, pt_xy
+
+    # ------------------------------------------------------------------
     def _refresh_point_terrain(self, state):
         """Initialize the carried per-point terrain heights/normals from the
         current pose (reset_all only; during stepping they ride one substep
@@ -510,44 +562,44 @@ class T1:
         push_t_w = quat_rotate(state.sim.root_quat, state.push_torque)
         zeros3 = jnp.zeros_like(push_f_w)
 
-        # (structured without closures over traced values: inline the loop)
-        def loop_body(carry, i):
-            sim, last_targets, torque_sum, _pt_xy = carry
-            last_targets = jnp.where(
-                (state.delay_steps == i)[:, None], dof_targets, last_targets)
-            pd = params.dof_stiffness * (last_targets - sim.q) - params.dof_damping * sim.qd
-            fric = jnp.minimum(jnp.abs(pd), params.dof_friction) * jnp.sign(pd)
-            tau = jnp.clip(pd - fric, -self.torque_limits, self.torque_limits)
-            ef = jnp.where(i == 0, push_f_w, zeros3)
-            et = jnp.where(i == 0, push_t_w, zeros3)
-            if self.pallas_backend:
-                # terrain h/n held fixed across the control step (TPU gathers
-                # cost ~4 ms; staleness <= 20 ms of motion, sub-cm heights)
-                sim, forces, feet_pos, feet_R, pt_xy_new = self.substep.terrain_form(
-                    sim, params.dyn, tau, ef, et,
-                    state.point_heights, state.point_normals)
-            else:
+        if self.pallas_backend:
+            sim, last_targets, torques, forces, feet_pos, feet_R, pt_xy = (
+                self._physics_inner_loop_packed(params, state, dof_targets,
+                                                push_f_w, push_t_w))
+        else:
+            def loop_body(carry, i):
+                sim, last_targets, torque_sum = carry
+                last_targets = jnp.where(
+                    (state.delay_steps == i)[:, None], dof_targets, last_targets)
+                pd = (params.dof_stiffness * (last_targets - sim.q)
+                      - params.dof_damping * sim.qd)
+                fric = jnp.minimum(jnp.abs(pd), params.dof_friction) * jnp.sign(pd)
+                tau = jnp.clip(pd - fric, -self.torque_limits, self.torque_limits)
+                ef = jnp.where(i == 0, push_f_w, zeros3)
+                et = jnp.where(i == 0, push_t_w, zeros3)
                 sim, forces, feet_pos, feet_R = self.substep(sim, params.dyn, tau, ef, et)
-                pt_xy_new = pt_xy0
-            return (sim, last_targets, torque_sum + tau, pt_xy_new), (forces, feet_pos, feet_R)
+                return (sim, last_targets, torque_sum + tau), (forces, feet_pos, feet_R)
 
-        pt_xy0 = jnp.zeros((self.num_envs, self.model.num_points, 2))
-        (sim, last_targets, torque_sum, pt_xy), (forces_seq, feet_pos_seq, feet_R_seq) = jax.lax.scan(
-            loop_body,
-            (state.sim, state.last_dof_targets, jnp.zeros_like(state.torques), pt_xy0),
-            jnp.arange(self.decimation),
-        )
+            (sim, last_targets, torque_sum), (forces_seq, feet_pos_seq, feet_R_seq) = jax.lax.scan(
+                loop_body,
+                (state.sim, state.last_dof_targets, jnp.zeros_like(state.torques)),
+                jnp.arange(self.decimation),
+            )
+            torques = torque_sum / self.decimation
+            forces, feet_pos, feet_R = forces_seq[-1], feet_pos_seq[-1], feet_R_seq[-1]
+            pt_xy = jnp.zeros((self.num_envs, self.model.num_points, 2))
+
         state = state.replace(
             sim=sim,
             last_dof_targets=last_targets,
-            torques=torque_sum / self.decimation,
-            contact_forces=forces_seq[-1],
+            torques=torques,
+            contact_forces=forces,
         )
         # (pt_xy from the last substep feeds the terrain refresh after resets)
 
         # --- post-physics (envs/t1.py:459-497)
         state = self._refresh_post_physics(
-            params, state, feet_pos=feet_pos_seq[-1], feet_R=feet_R_seq[-1])
+            params, state, feet_pos=feet_pos, feet_R=feet_R)
         state = state.replace(
             episode_length=state.episode_length + 1,
             common_step_counter=state.common_step_counter + 1,

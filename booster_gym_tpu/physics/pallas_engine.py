@@ -652,33 +652,39 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
         comp = x.shape[0]
         return x.reshape(comp, -1).T
 
-    def step_terrain(state: SimState, dyn, tau, ext_force, ext_torque,
-                     point_heights, point_normals):
-        """General form: per-point terrain heights [B, npt] and normals
-        [B, npt, 3] as inputs; also returns the contact-point xy [B, npt, 2]
-        for the caller's terrain gather feeding the next substep."""
-        B = state.q.shape[0]
-        assert B % BT == 0, f"pallas path needs num_envs % {BT} == 0, got {B}"
-        G = B // BT
+    def pack_sim(state: SimState):
+        """SimState -> tuple of packed arrays (kernel layout)."""
+        return (pack(state.root_pos, 3), pack(state.root_quat, 4),
+                pack(state.root_lin_vel, 3), pack(state.root_ang_vel, 3),
+                pack(state.q, nd), pack(state.qd, nd))
+
+    def unpack_sim(psim):
+        return SimState(
+            root_pos=unpack(psim[0]), root_quat=unpack(psim[1]),
+            root_lin_vel=unpack(psim[2]), root_ang_vel=unpack(psim[3]),
+            q=unpack(psim[4]), qd=unpack(psim[5]))
+
+    def pack_dyn(dyn):
+        """DynParams -> tuple of packed arrays (invariant across substeps;
+        pack once per control step, not per substep)."""
+        B = dyn.body_mass.shape[0]
         in6 = jnp.stack([
             dyn.body_inertia[..., 0, 0], dyn.body_inertia[..., 1, 1],
             dyn.body_inertia[..., 2, 2], dyn.body_inertia[..., 0, 1],
             dyn.body_inertia[..., 0, 2], dyn.body_inertia[..., 1, 2],
-        ], axis=-1)  # [B, nb, 6]
-        args = [
-            pack(state.root_pos, 3), pack(state.root_quat, 4),
-            pack(state.root_lin_vel, 3), pack(state.root_ang_vel, 3),
-            pack(state.q, nd), pack(state.qd, nd),
-            pack(dyn.body_mass, nb),
-            pack(dyn.body_com.reshape(B, nb * 3), nb * 3),
-            pack(in6.reshape(B, nb * 6), nb * 6),
-            pack(dyn.shape_friction, dyn.shape_friction.shape[1]),
-            pack(dyn.shape_restitution, dyn.shape_restitution.shape[1]),
-            pack(tau, nd),
-            pack(jnp.concatenate([ext_force, ext_torque], axis=-1), 6),
-            pack(point_heights, npt),
-            pack(point_normals.reshape(B, npt * 3), npt * 3),
-        ]
+        ], axis=-1)
+        return (pack(dyn.body_mass, nb),
+                pack(dyn.body_com.reshape(B, nb * 3), nb * 3),
+                pack(in6.reshape(B, nb * 6), nb * 6),
+                pack(dyn.shape_friction, dyn.shape_friction.shape[1]),
+                pack(dyn.shape_restitution, dyn.shape_restitution.shape[1]))
+
+    def packed_call(psim, pdyn, ptau, pext, ph, pn):
+        """Fully packed kernel invocation: everything in [comp, G, 8, 128].
+        Returns (psim', pforces, pfeet, pptxy) still packed — the fast inner
+        loop keeps state packed across all substeps."""
+        G = psim[0].shape[1]
+        args = list(psim) + list(pdyn) + [ptau, pext, ph, pn]
         out_shapes = [
             jax.ShapeDtypeStruct((3, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((4, G, 8, 128), jnp.float32),
@@ -705,16 +711,26 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             out_shape=out_shapes,
             interpret=interpret,
         )(*args)
-        new_state = SimState(
-            root_pos=unpack(outs[0]), root_quat=unpack(outs[1]),
-            root_lin_vel=unpack(outs[2]), root_ang_vel=unpack(outs[3]),
-            q=unpack(outs[4]), qd=unpack(outs[5]),
-        )
-        forces = unpack(outs[6]).reshape(B, nb, 3)
-        feet = unpack(outs[7]).reshape(B, nf, 12)
+        return tuple(outs[:6]), outs[6], outs[7], outs[8]
+
+    def step_terrain(state: SimState, dyn, tau, ext_force, ext_torque,
+                     point_heights, point_normals):
+        """General form: per-point terrain heights [B, npt] and normals
+        [B, npt, 3] as inputs; also returns the contact-point xy [B, npt, 2]
+        for the caller's terrain gather feeding the next substep."""
+        B = state.q.shape[0]
+        assert B % BT == 0, f"pallas path needs num_envs % {BT} == 0, got {B}"
+        psim, pforces, pfeet, pptxy = packed_call(
+            pack_sim(state), pack_dyn(dyn), pack(tau, nd),
+            pack(jnp.concatenate([ext_force, ext_torque], axis=-1), 6),
+            pack(point_heights, npt),
+            pack(point_normals.reshape(B, npt * 3), npt * 3))
+        new_state = unpack_sim(psim)
+        forces = unpack(pforces).reshape(B, nb, 3)
+        feet = unpack(pfeet).reshape(B, nf, 12)
         feet_pos = feet[:, :, 0:3]
         feet_R = feet[:, :, 3:12].reshape(B, nf, 3, 3)
-        pt_xy = unpack(outs[8]).reshape(B, npt, 2)
+        pt_xy = unpack(pptxy).reshape(B, npt, 2)
         return new_state, forces, feet_pos, feet_R, pt_xy
 
     def step(state: SimState, dyn, tau, ext_force, ext_torque):
@@ -726,4 +742,10 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
         return out[0], out[1], out[2], out[3]
 
     step.terrain_form = step_terrain
+    step.packed_call = packed_call
+    step.pack_sim = pack_sim
+    step.unpack_sim = unpack_sim
+    step.pack_dyn = pack_dyn
+    step.pack = pack
+    step.unpack = unpack
     return step
