@@ -121,13 +121,20 @@ class SdkRobot(RobotInterface):
 
 
 class MockRobot(RobotInterface):
-    """In-process emulator: joints are first-order servos toward commanded
-    targets; the IMU attitude is settable by tests (e.g. to trigger the fall
-    detector).  Low-state callbacks are driven by tick()."""
+    """In-process emulator with PD-consistent joint dynamics: every joint
+    is a rigid inertia driven by the same control law the firmware runs —
+    tau = kp (q* - q) + kd (dq* - dq) + tau_ff — integrated semi-implicitly
+    at dt.  Torque-only commands (kp == kd == 0, e.g. the parallel-ankle
+    conversion, reference deploy/deploy.py:365-376) therefore produce
+    physically consistent motion instead of a kinematic hack, so tests of
+    the torque path validate the actual closed loop.  The IMU attitude is
+    settable by tests (e.g. to trigger the fall detector); low-state
+    callbacks are driven by tick()."""
 
-    def __init__(self, dt=0.002, tracking_rate=30.0):
+    def __init__(self, dt=0.002, joint_inertia=0.05, joint_damping=0.2):
         self.dt = dt
-        self.tracking_rate = tracking_rate
+        self.inertia = np.full(NUM_JOINTS, float(joint_inertia))
+        self.damping = np.full(NUM_JOINTS, float(joint_damping))
         self.q = np.zeros(NUM_JOINTS)
         self.dq = np.zeros(NUM_JOINTS)
         self.rpy = np.zeros(3)
@@ -161,18 +168,17 @@ class MockRobot(RobotInterface):
         for _ in range(n):
             with self._lock:
                 if self.last_cmd is not None:
-                    targets = np.array([m.q for m in self.last_cmd.motor_cmd])
-                    taus = np.array([m.tau for m in self.last_cmd.motor_cmd])
-                    kps = np.array([m.kp for m in self.last_cmd.motor_cmd])
-                    # position-servo joints track targets; torque-mode joints
-                    # (kp == 0) integrate commanded torque crudely
-                    alpha = np.clip(self.tracking_rate * self.dt, 0.0, 1.0)
-                    pos_mode = kps > 0
-                    new_q = np.where(
-                        pos_mode, self.q + alpha * (targets - self.q),
-                        self.q + 0.001 * taus)
-                    self.dq = (new_q - self.q) / self.dt
-                    self.q = new_q
+                    mc = self.last_cmd.motor_cmd
+                    q_t = np.array([m.q for m in mc])
+                    dq_t = np.array([m.dq for m in mc])
+                    tau_ff = np.array([m.tau for m in mc])
+                    kp = np.array([m.kp for m in mc])
+                    kd = np.array([m.kd for m in mc])
+                    # firmware control law + rigid-inertia joint dynamics
+                    tau = kp * (q_t - self.q) + kd * (dq_t - self.dq) + tau_ff
+                    qdd = (tau - self.damping * self.dq) / self.inertia
+                    self.dq = self.dq + self.dt * qdd
+                    self.q = self.q + self.dt * self.dq
             if self._handler is not None:
                 state = LowState()
                 state.imu_state.rpy = self.rpy.copy()

@@ -66,41 +66,148 @@ class MockArmTracking:
         self._running = False
 
 
-class WebSocketArmClient:
-    """Connects to a VR tracking server; applies received target_positions to
-    the controller and streams back observed positions."""
+class TeleopSession:
+    """Connection/session bookkeeping for the teleop stream: message and
+    reconnect counters, staleness tracking, thread-safe snapshots."""
 
-    def __init__(self, controller, uri="ws://localhost:8765", stream_back=True):
+    def __init__(self):
+        self.connected = False
+        self.connections = 0
+        self.messages = 0
+        self.dropped = 0          # messages rejected (malformed / wrong shape)
+        self.last_msg_time = None
+        self._lock = threading.Lock()
+
+    def on_connect(self):
+        with self._lock:
+            self.connected = True
+            self.connections += 1
+
+    def on_disconnect(self):
+        with self._lock:
+            self.connected = False
+
+    def on_message(self, ok=True):
+        with self._lock:
+            if ok:
+                self.messages += 1
+                self.last_msg_time = time.monotonic()
+            else:
+                self.dropped += 1
+
+    def stale(self, timeout_s):
+        with self._lock:
+            if self.last_msg_time is None:
+                return True
+            return (time.monotonic() - self.last_msg_time) > timeout_s
+
+    def snapshot(self):
+        with self._lock:
+            return {
+                "connected": self.connected, "connections": self.connections,
+                "messages": self.messages, "dropped": self.dropped,
+            }
+
+
+class WebSocketArmClient:
+    """Connects to a VR tracking server; applies received target_positions
+    to the controller (limit-clipped, EMA-smoothed, per-message rate-
+    clamped) and streams back observed positions.
+
+    Robustness semantics (reference: deploy/upper_body_controller.py's
+    reconnect/session breadth, re-designed):
+      * automatic reconnect with exponential backoff (capped);
+      * a staleness watchdog — if no valid message arrives for
+        `stale_timeout_s`, the arms hold the last safe pose rather than
+        chase a dead stream (check via `stale()`, used by the Controller);
+      * malformed messages are counted and dropped, never applied.
+    """
+
+    def __init__(self, controller, uri="ws://localhost:8765", stream_back=True,
+                 smoothing=0.5, max_step=0.1, stale_timeout_s=0.5,
+                 backoff_initial_s=0.2, backoff_max_s=5.0):
         self.controller = controller
         self.uri = uri
         self.stream_back = stream_back
+        self.smoothing = smoothing          # EMA weight on the new target
+        self.max_step = max_step            # rad per message, per joint
+        self.stale_timeout_s = stale_timeout_s
+        self.backoff_initial_s = backoff_initial_s
+        self.backoff_max_s = backoff_max_s
+        self.session = TeleopSession()
         self._running = False
+        self._smoothed = None
+
+    def stale(self):
+        return self.session.stale(self.stale_timeout_s)
+
+    def _apply_targets(self, raw_targets):
+        try:
+            t = np.asarray(raw_targets, np.float32)
+            if t.shape != (len(UPPER_BODY_LIMITS),) or not np.all(np.isfinite(t)):
+                raise ValueError(f"bad target shape/values {t.shape}")
+        except Exception as e:
+            logger.warning("dropping malformed teleop message: %s", e)
+            self.session.on_message(ok=False)
+            return
+        target = clip_upper_body(t)
+        prev = (self._smoothed if self._smoothed is not None
+                else self.controller.manual_upper_body_positions)
+        stepped = np.clip(target, prev - self.max_step, prev + self.max_step)
+        self._smoothed = self.smoothing * stepped + (1 - self.smoothing) * prev
+        self.controller.set_upper_body_positions(self._smoothed)
+        self.session.on_message(ok=True)
 
     async def _session(self):
         import websockets
 
         async with websockets.connect(self.uri) as ws:
             logger.info("teleop connected to %s", self.uri)
-            while self._running:
-                raw = await ws.recv()
-                msg = json.loads(raw)
-                if "target_positions" in msg:
-                    self.controller.set_upper_body_positions(
-                        clip_upper_body(msg["target_positions"]))
-                if self.stream_back:
-                    observed = self.controller.dof_pos_latest[:10].tolist()
-                    await ws.send(json.dumps({"observed_positions": observed}))
+            self.session.on_connect()
+            try:
+                while self._running:
+                    raw = await ws.recv()
+                    try:
+                        msg = json.loads(raw)
+                    except ValueError:
+                        # a corrupt frame is a bad message, not a dead
+                        # stream: count it and keep the session alive
+                        logger.warning("dropping non-JSON teleop frame")
+                        self.session.on_message(ok=False)
+                        continue
+                    if not isinstance(msg, dict):
+                        self.session.on_message(ok=False)
+                        continue
+                    if "target_positions" in msg:
+                        self._apply_targets(msg["target_positions"])
+                    if self.stream_back:
+                        observed = self.controller.dof_pos_latest[:10].tolist()
+                        await ws.send(json.dumps({"observed_positions": observed}))
+            finally:
+                self.session.on_disconnect()
 
     def run_forever(self):
         import asyncio
 
         self._running = True
+        backoff = self.backoff_initial_s
         while self._running:
             try:
                 asyncio.run(self._session())
+                backoff = self.backoff_initial_s
             except Exception as e:
-                logger.warning("teleop connection lost (%s); retrying", e)
-                time.sleep(1.0)
+                if not self._running:
+                    break
+                logger.warning(
+                    "teleop connection lost (%s); retrying in %.1fs", e, backoff)
+                time.sleep(backoff)
+                backoff = min(backoff * 2, self.backoff_max_s)
+
+    def start(self):
+        """Run the client loop on a daemon thread; returns the thread."""
+        th = threading.Thread(target=self.run_forever, daemon=True)
+        th.start()
+        return th
 
     def stop(self):
         self._running = False

@@ -50,6 +50,8 @@ def main():
     parser.add_argument("--gait_frequency", type=float, default=1.5)
     parser.add_argument("--video", default=None, help="output mp4 path")
     parser.add_argument("--interactive", action="store_true")
+    parser.add_argument("--no_joystick", action="store_true",
+                        help="Force keyboard input in interactive mode.")
     args = parser.parse_args()
 
     from booster_gym_tpu.eval.mujoco_eval import MujocoEval
@@ -62,40 +64,52 @@ def main():
     if args.interactive:
         import mujoco.viewer
 
-        cmd = np.array([args.vx, args.vy, args.vyaw], np.float32)
+        from booster_gym_tpu.eval.input_devices import (
+            CommandState, make_command_source)
+
+        # joystick if plugged in (reference: play_mujoco.py:139-278 pygame
+        # path), keyboard map otherwise; v / X-button toggles state
+        # recording, rendered to --video on exit
+        state = CommandState(args.vx, args.vy, args.vyaw, args.gait_frequency)
+        source, on_key_cmd = make_command_source(
+            state, prefer_joystick=not args.no_joystick)
         saved = {"snap": None}
+        recording = {"on": False, "qpos": []}
 
         def on_key(keycode):
-            # w/s: vx, a/d: vy, q/e: yaw, space: stop, z/x: save/load state,
-            # r: reset (the reference's keyboard map, play_mujoco.py:139-278)
-            c = chr(keycode).lower() if 0 <= keycode < 256 else ""
-            if c == "w":
-                cmd[0] += 0.1
-            elif c == "s":
-                cmd[0] -= 0.1
-            elif c == "a":
-                cmd[1] += 0.1
-            elif c == "d":
-                cmd[1] -= 0.1
-            elif c == "q":
-                cmd[2] += 0.1
-            elif c == "e":
-                cmd[2] -= 0.1
-            elif c == " ":
-                cmd[:] = 0.0
-            elif c == "z":
-                saved["snap"] = ev.save_state()
-            elif c == "x" and saved["snap"] is not None:
-                ev.restore_state(saved["snap"])
-            elif c == "r":
-                ev.reset()
+            if on_key_cmd is not None:
+                on_key_cmd(keycode)
 
         with mujoco.viewer.launch_passive(
                 ev.model, ev.data, key_callback=on_key) as viewer:
             while viewer.is_running():
-                ev.substep(cmd)
+                source.poll()
+                if state.pop_flag("save_state"):
+                    saved["snap"] = ev.save_state()
+                if state.pop_flag("load_state") and saved["snap"] is not None:
+                    ev.restore_state(saved["snap"])
+                if state.pop_flag("reset"):
+                    ev.reset()
+                if state.pop_flag("toggle_recording"):
+                    recording["on"] = not recording["on"]
+                    print("recording" if recording["on"]
+                          else f"stopped ({len(recording['qpos'])} states)")
+                ev.gait_frequency = state.gait_frequency
+                ev.substep(state.cmd)
+                if recording["on"]:
+                    recording["qpos"].append(ev.data.qpos.copy())
                 viewer.cam.lookat[:] = ev.data.qpos[:3]
                 viewer.sync()
+        if recording["qpos"] and args.video:
+            from booster_gym_tpu.envs.t1 import _resolve_asset
+            from booster_gym_tpu.eval.render import render_states_to_video
+
+            dt = ev.model.opt.timestep
+            qpos = np.stack(recording["qpos"])
+            path = render_states_to_video(
+                _resolve_asset(cfg["asset"]["mujoco_file"]),
+                qpos[:: max(1, int(1 / (50 * dt)))], args.video, fps=50)
+            print(f"video written to {path}")
         return
 
     traj = ev.run(args.seconds, commands=(args.vx, args.vy, args.vyaw),

@@ -40,6 +40,31 @@ def test_timer_sim_ticks():
     for _ in range(500):
         t.tick_timer_if_sim()
     assert t.get_time() == pytest.approx(1.0)
+    t.advance(500)
+    assert t.get_time() == pytest.approx(2.0)
+    t.reset()
+    assert t.get_time() == 0.0
+
+
+def test_mock_robot_pd_dynamics():
+    """The MockRobot runs the firmware PD law on rigid joint inertias:
+    position servos converge to the target, torque-only commands produce
+    the physical steady state (dq -> tau / damping)."""
+    robot = MockRobot(dt=0.002)
+    robot.init_channels(lambda s: None)
+    cmd = robot.make_low_cmd()
+    cmd.motor_cmd[0].q = 0.5
+    cmd.motor_cmd[0].kp = 50.0
+    cmd.motor_cmd[0].kd = 5.0
+    cmd.motor_cmd[1].tau = 1.0  # torque mode: kp == kd == 0
+    robot.publish_low_cmd(cmd)
+    robot.tick(2500)  # 5 s
+    assert robot.q[0] == pytest.approx(0.5, abs=1e-3)
+    assert abs(robot.dq[0]) < 1e-3
+    # steady-state velocity of a torque-driven damped joint
+    assert robot.dq[1] == pytest.approx(1.0 / robot.damping[1], rel=0.05)
+    # uncommanded joints stay put
+    assert robot.q[2] == 0.0
 
 
 def test_mirror_matrices_are_involutions():
