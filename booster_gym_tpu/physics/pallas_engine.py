@@ -183,10 +183,46 @@ def _swap6(i):
     return i + 3 if i < 3 else i - 3
 
 
+class _EmuInRef:
+    """Read-only stand-in for a VMEM block ref in emulated execution."""
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    def __getitem__(self, idx):
+        return self._arr[idx]
+
+
+class _EmuOutRef:
+    """Write-only stand-in for an output block ref; collects the per-row
+    writes the kernel performs and reassembles the block."""
+
+    def __init__(self, shape, dtype):
+        self.shape = shape
+        self.dtype = dtype
+        self._rows = {}
+
+    def __setitem__(self, idx, val):
+        self._rows[idx] = val
+
+    def assemble(self):
+        rows = [self._rows[(k, 0)] for k in range(self.shape[0])]
+        return jnp.stack(rows).astype(self.dtype)[:, None]
+
+
 def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
     """Plane-terrain Pallas substep with the same semantics/signature as
-    engine.make_substep(model, cfg, plane_terrain).  interpret=True runs the
-    kernel in the Pallas interpreter (CPU correctness tests)."""
+    engine.make_substep(model, cfg, plane_terrain).
+
+    interpret=True runs the kernel through the Pallas interpreter (exact
+    pallas_call coverage, but the ~40k-op T1 kernel takes >30 min to
+    compile that way on CPU — fine for the toy model in
+    tests/test_pallas_small.py, marked slow for T1).  interpret="emulate"
+    executes the *same kernel body* as ordinary traced JAX ops with an
+    emulated grid (one iteration per grid step, block refs shimmed), which
+    XLA compiles like the engine.py path — the program the TPU kernel runs,
+    validated cheaply on CPU (used by __graft_entry__.dryrun_multichip for
+    the sharded 512-envs/device check)."""
     nb, nd = model.num_bodies, model.num_dofs
     if feet_indices is None:
         feet_indices = [i for i, n in enumerate(model.body_names) if "foot" in n]
@@ -643,14 +679,25 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
 
     # ------------------------------------------------------------------
     def pack(x, comp):
-        """[B, comp] -> [comp, G, 8, 128]."""
-        B = x.shape[0]
-        return x.T.reshape(comp, B // BT, 8, 128)
+        """[B, comp] -> [comp, G, 8, 128].
 
-    def unpack(x):
-        """[comp, G, 8, 128] -> [B, comp]."""
+        Batches that are not a multiple of BT are padded up by replicating
+        the last env (a valid state, so the padded lanes compute finite
+        garbage that unpack() discards).  This lifts the round-1
+        num_envs % 1024 restriction so per-device shards of any size run
+        through the kernel (e.g. 512 envs/device under an 8-way dp mesh)."""
+        B = x.shape[0]
+        pad = (-B) % BT
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0)
+        return x.T.reshape(comp, (B + pad) // BT, 8, 128)
+
+    def unpack(x, batch=None):
+        """[comp, G, 8, 128] -> [B, comp]; batch slices off pack()'s pad."""
         comp = x.shape[0]
-        return x.reshape(comp, -1).T
+        out = x.reshape(comp, -1).T
+        return out if batch is None else out[:batch]
 
     def pack_sim(state: SimState):
         """SimState -> tuple of packed arrays (kernel layout)."""
@@ -658,11 +705,11 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
                 pack(state.root_lin_vel, 3), pack(state.root_ang_vel, 3),
                 pack(state.q, nd), pack(state.qd, nd))
 
-    def unpack_sim(psim):
+    def unpack_sim(psim, batch=None):
         return SimState(
-            root_pos=unpack(psim[0]), root_quat=unpack(psim[1]),
-            root_lin_vel=unpack(psim[2]), root_ang_vel=unpack(psim[3]),
-            q=unpack(psim[4]), qd=unpack(psim[5]))
+            root_pos=unpack(psim[0], batch), root_quat=unpack(psim[1], batch),
+            root_lin_vel=unpack(psim[2], batch), root_ang_vel=unpack(psim[3], batch),
+            q=unpack(psim[4], batch), qd=unpack(psim[5], batch))
 
     def pack_dyn(dyn):
         """DynParams -> tuple of packed arrays (invariant across substeps;
@@ -701,16 +748,27 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             return pl.BlockSpec((comp, 1, 8, 128), lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
 
-        in_specs = [spec(a.shape[0]) for a in args]
-        out_specs = [spec(s.shape[0]) for s in out_shapes]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(G,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(*args)
+        if interpret == "emulate":
+            blocks = []
+            for i in range(G):
+                in_refs = [_EmuInRef(a[:, i:i + 1]) for a in args]
+                out_refs = [_EmuOutRef((s.shape[0], 1, 8, 128), s.dtype)
+                            for s in out_shapes]
+                kernel(*in_refs, *out_refs)
+                blocks.append([r.assemble() for r in out_refs])
+            outs = [jnp.concatenate([b[j] for b in blocks], axis=1)
+                    for j in range(len(out_shapes))]
+        else:
+            in_specs = [spec(a.shape[0]) for a in args]
+            out_specs = [spec(s.shape[0]) for s in out_shapes]
+            outs = pl.pallas_call(
+                kernel,
+                grid=(G,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                interpret=bool(interpret),
+            )(*args)
         return tuple(outs[:6]), outs[6], outs[7], outs[8]
 
     def step_terrain(state: SimState, dyn, tau, ext_force, ext_torque,
@@ -719,18 +777,17 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
         [B, npt, 3] as inputs; also returns the contact-point xy [B, npt, 2]
         for the caller's terrain gather feeding the next substep."""
         B = state.q.shape[0]
-        assert B % BT == 0, f"pallas path needs num_envs % {BT} == 0, got {B}"
         psim, pforces, pfeet, pptxy = packed_call(
             pack_sim(state), pack_dyn(dyn), pack(tau, nd),
             pack(jnp.concatenate([ext_force, ext_torque], axis=-1), 6),
             pack(point_heights, npt),
             pack(point_normals.reshape(B, npt * 3), npt * 3))
-        new_state = unpack_sim(psim)
-        forces = unpack(pforces).reshape(B, nb, 3)
-        feet = unpack(pfeet).reshape(B, nf, 12)
+        new_state = unpack_sim(psim, B)
+        forces = unpack(pforces, B).reshape(B, nb, 3)
+        feet = unpack(pfeet, B).reshape(B, nf, 12)
         feet_pos = feet[:, :, 0:3]
         feet_R = feet[:, :, 3:12].reshape(B, nf, 3, 3)
-        pt_xy = unpack(pptxy).reshape(B, npt, 2)
+        pt_xy = unpack(pptxy, B).reshape(B, npt, 2)
         return new_state, forces, feet_pos, feet_R, pt_xy
 
     def step(state: SimState, dyn, tau, ext_force, ext_torque):

@@ -9,16 +9,19 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-# Interpreter-mode execution of the ~40k-op kernel over 1024 envs takes tens
-# of minutes on CPU; run with -m slow (tools/validate_pallas_tpu.py does the
-# same comparison compiled on the real chip in seconds — diffs at f32
-# rounding level, validated on v5e).
+# Compiling the ~40k-op T1 kernel in interpret mode takes ~5-10 min on CPU
+# even with jit_nofusion (utils/compile.py — XLA:CPU's fusion pass is
+# disabled, without which it OOMs); run with -m slow.  The default suite
+# covers the same generator on a toy model (tests/test_pallas_small.py);
+# tools/validate_pallas_tpu.py does this comparison compiled on the real
+# chip in seconds (diffs at f32 rounding level, validated on v5e).
 pytestmark = pytest.mark.slow
 
 from booster_gym_tpu.physics import SimConfig, SimState, DynParams
 from booster_gym_tpu.physics.engine import make_substep
 from booster_gym_tpu.physics.pallas_engine import make_substep_pallas, BT
 from booster_gym_tpu.terrain import Terrain
+from booster_gym_tpu.utils.compile import jit_nofusion
 
 
 @pytest.fixture(scope="module")
@@ -27,7 +30,7 @@ def setups(t1_model):
     cfg = SimConfig()
     terrain = Terrain({"type": "plane", "static_friction": 1.0, "restitution": 0.0})
     xla_step = jax.jit(make_substep(model, cfg, terrain))
-    pallas_step = jax.jit(make_substep_pallas(model, cfg, interpret=True))
+    pallas_step = jit_nofusion(make_substep_pallas(model, cfg, interpret=True))
 
     B = BT  # one grid step
     rng = np.random.default_rng(0)

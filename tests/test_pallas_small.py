@@ -1,0 +1,154 @@
+"""Default-suite Pallas kernel tests on a tiny synthetic robot.
+
+This toy 2-dof floating-base model exercises the exact same kernel
+generator end-to-end in the default suite: real pallas_call in interpret
+mode, the packed layout, batch padding to tile granularity (lifting
+round-1's num_envs % 1024 restriction), and shard_map execution over the
+8 virtual devices.  All Pallas programs compile through jit_nofusion —
+XLA:CPU's fusion pass explodes on the kernel body (utils/compile.py);
+without it the toy compiles in ~10 s.  The T1-scale equivalents are
+tests/test_pallas.py (-m slow) and tools/validate_pallas_tpu.py (on-chip).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from booster_gym_tpu.model.urdf import RobotModel
+from booster_gym_tpu.physics import SimConfig, SimState, DynParams
+from booster_gym_tpu.physics.engine import make_substep
+from booster_gym_tpu.physics.pallas_engine import make_substep_pallas
+from booster_gym_tpu.terrain import Terrain
+from booster_gym_tpu.utils.compile import jit_nofusion
+
+
+def _toy_model():
+    """Floating base + 2-link chain ending in a 'foot' body, 8 contact
+    points across 3 shapes."""
+    eye = np.eye(3)
+    return RobotModel(
+        body_names=("base", "thigh", "foot"),
+        dof_names=("hip", "knee"),
+        parent=np.array([-1, 0, 1]),
+        joint_pos=np.array([[0.0, 0, 0], [0, 0.05, -0.2], [0, 0, -0.25]]),
+        joint_rot=np.stack([eye, eye, eye]),
+        joint_axis=np.array([[0.0, 0, 1], [0, 1, 0], [1, 0, 0]]),
+        body_mass=np.array([3.0, 1.0, 0.4]),
+        body_com=np.array([[0.0, 0, 0], [0, 0, -0.1], [0.02, 0, -0.02]]),
+        body_inertia=np.stack([0.05 * eye, 0.01 * eye, 0.002 * eye]),
+        dof_lower=np.array([-1.5, -2.0]),
+        dof_upper=np.array([1.5, 2.0]),
+        dof_vel_limit=np.array([20.0, 20.0]),
+        dof_effort=np.array([30.0, 30.0]),
+        point_body=np.array([0, 0, 0, 0, 1, 1, 2, 2]),
+        point_pos=np.array([
+            [0.1, 0.1, -0.1], [0.1, -0.1, -0.1], [-0.1, 0.1, -0.1],
+            [-0.1, -0.1, -0.1], [0, 0, -0.1], [0, 0, -0.2],
+            [0.05, 0, -0.05], [-0.05, 0, -0.05],
+        ]),
+        point_radius=np.full(8, 0.02),
+        point_shape=np.array([0, 0, 0, 0, 1, 1, 2, 2]),
+        shape_body=np.array([0, 1, 2]),
+    )
+
+
+@pytest.fixture(scope="module")
+def toy():
+    model = _toy_model()
+    cfg = SimConfig()
+    terrain = Terrain({"type": "plane", "static_friction": 1.0, "restitution": 0.0})
+    xla_step = jax.jit(make_substep(model, cfg, terrain))
+    pallas_step = jit_nofusion(make_substep_pallas(model, cfg, interpret=True))
+    return model, cfg, xla_step, pallas_step
+
+
+def _rand_inputs(model, B, seed=0):
+    rng = np.random.default_rng(seed)
+    nd = model.num_dofs
+    quat = rng.normal(size=(B, 4)).astype(np.float32)
+    quat[: B // 2] = np.array([1, 0, 0, 0], np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    pos = np.zeros((B, 3), np.float32)
+    pos[:, 2] = rng.uniform(0.2, 0.8, B)
+    state = SimState(
+        root_pos=jnp.asarray(pos), root_quat=jnp.asarray(quat),
+        root_lin_vel=jnp.asarray(rng.uniform(-1, 1, (B, 3)), jnp.float32),
+        root_ang_vel=jnp.asarray(rng.uniform(-1, 1, (B, 3)), jnp.float32),
+        q=jnp.asarray(rng.uniform(-1, 1, (B, nd)), jnp.float32),
+        qd=jnp.asarray(rng.uniform(-2, 2, (B, nd)), jnp.float32))
+    t = lambda x, reps: jnp.tile(jnp.asarray(x, jnp.float32), reps)
+    dyn = DynParams(
+        body_mass=t(model.body_mass, (B, 1)),
+        body_com=t(model.body_com, (B, 1, 1)),
+        body_inertia=t(model.body_inertia, (B, 1, 1, 1)),
+        shape_friction=jnp.ones((B, 3)), shape_restitution=jnp.zeros((B, 3)))
+    tau = jnp.asarray(rng.uniform(-5, 5, (B, nd)), jnp.float32)
+    ef = jnp.asarray(rng.uniform(-2, 2, (B, 3)), jnp.float32)
+    et = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)), jnp.float32)
+    return state, dyn, tau, ef, et
+
+
+def _assert_state_close(s_p, s_x, tol=2e-3):
+    for name in ("root_pos", "root_quat", "root_lin_vel", "root_ang_vel", "q", "qd"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_p, name)), np.asarray(getattr(s_x, name)),
+            rtol=tol, atol=tol, err_msg=name)
+
+
+def test_interpret_matches_xla(toy):
+    """pallas_call (interpret) == XLA engine at an exact tile batch."""
+    model, cfg, xla_step, pallas_step = toy
+    inputs = _rand_inputs(model, 1024)
+    s_x, f_x, *_ = xla_step(*inputs)
+    s_p, f_p, *_ = pallas_step(*inputs)
+    _assert_state_close(s_p, s_x)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), rtol=5e-2, atol=1.0)
+
+
+def test_odd_batch_padding(toy):
+    """Batches that are no multiple of 1024 pad to tile granularity and
+    produce identical physics for the real envs."""
+    model, cfg, xla_step, pallas_step = toy
+    inputs = _rand_inputs(model, 100, seed=1)
+    s_x, *_ = xla_step(*inputs)
+    s_p, *_ = pallas_step(*inputs)
+    assert s_p.q.shape == (100, model.num_dofs)
+    _assert_state_close(s_p, s_x)
+
+
+def test_padding_consistent_with_exact_tile(toy):
+    """The first 100 envs of a 1024 batch == the padded 100-env batch."""
+    model, cfg, _, pallas_step = toy
+    full = _rand_inputs(model, 1024, seed=2)
+    cut = jax.tree.map(lambda x: x[:100], full)
+    s_full, *_ = pallas_step(*full)
+    s_cut, *_ = pallas_step(*cut)
+    for name in ("root_pos", "q", "qd"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_cut, name)),
+            np.asarray(getattr(s_full, name))[:100], rtol=1e-6, atol=1e-6)
+
+
+def test_shard_map_pallas(toy):
+    """The kernel under shard_map over 8 devices (13 envs/device, padded
+    in-kernel) matches the unsharded run — the multi-chip physics path."""
+    model, cfg, xla_step, pallas_step = toy
+    assert len(jax.devices()) >= 8
+    from booster_gym_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    B = 104
+    inputs = _rand_inputs(model, B, seed=3)
+
+    raw_step = make_substep_pallas(model, cfg, interpret=True)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata, so shard_map's vma check cannot apply to kernel programs
+    sharded = jit_nofusion(jax.shard_map(
+        raw_step, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+        check_vma=False))
+    s_sh, f_sh, *_ = sharded(*inputs)
+    s_x, f_x, *_ = xla_step(*inputs)
+    _assert_state_close(s_sh, s_x)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_x), rtol=5e-2, atol=1.0)
