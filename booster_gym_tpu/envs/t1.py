@@ -180,28 +180,45 @@ class T1:
         cc = cfg["commands"]
         self.curriculum_shape = (1 + 2 * cc["lin_vel_levels"], 1 + 2 * cc["ang_vel_levels"])
 
+        # multi-device: set_mesh() shards the packed physics inner loop over
+        # the env axis (everything else shards by NamedSharding propagation)
+        self.mesh = None
+        self.axis_name = "dp"
+
         # backend selection last: it needs the feet indices for the
         # engine-side feet outputs
         self.substep = self._select_backend(cfg)
 
     # ------------------------------------------------------------------
     def _select_backend(self, cfg):
-        """Pick the physics backend: the Pallas substep kernel (TPU, plane
-        terrain, batch multiple of its tile) runs ~100x faster than the
-        XLA-op engine; everything else falls back to the XLA path."""
+        """Pick the physics backend: the Pallas substep kernel runs ~100x
+        faster than the XLA-op engine on TPU; 'pallas_interpret' forces the
+        kernel through the Pallas interpreter (CPU correctness/dryrun);
+        everything else falls back to the XLA path.  Batches of any size are
+        supported — the kernel pads to its [8,128]-tile granularity."""
         import jax
 
-        from booster_gym_tpu.physics.pallas_engine import BT, make_substep_pallas
+        from booster_gym_tpu.physics.pallas_engine import make_substep_pallas
 
         backend = cfg["sim"].get("backend", "auto")
-        pallas_ok = (
-            self.num_envs % BT == 0 and jax.default_backend() == "tpu")
-        self.pallas_backend = backend == "pallas" or (backend == "auto" and pallas_ok)
+        self.pallas_backend = backend in (
+            "pallas", "pallas_interpret", "pallas_emulate") or (
+            backend == "auto" and jax.default_backend() == "tpu")
         if self.pallas_backend:
+            interpret = {"pallas_interpret": True,
+                         "pallas_emulate": "emulate"}.get(backend, False)
             return make_substep_pallas(
-                self.model, self.sim_cfg, feet_indices=self.feet_indices)
+                self.model, self.sim_cfg, feet_indices=self.feet_indices,
+                interpret=interpret)
         return make_substep(
             self.model, self.sim_cfg, self.terrain, feet_indices=self.feet_indices)
+
+    def set_mesh(self, mesh, axis_name="dp"):
+        """Run the physics inner loop under shard_map over `axis_name` of
+        `mesh` (env-batch data parallelism).  The rest of the step shards by
+        sharding propagation — XLA inserts the collectives (SURVEY.md §5.8)."""
+        self.mesh = mesh
+        self.axis_name = axis_name
 
     # ------------------------------------------------------------------
     def _compute_env_origins(self):
@@ -344,26 +361,52 @@ class T1:
     # ------------------------------------------------------------------
     def _physics_inner_loop_packed(self, params, state, dof_targets,
                                    push_f_w, push_t_w):
-        """Decimation loop entirely in the Pallas kernel's packed layout:
+        """Decimation loop entirely in the Pallas kernel's packed layout;
+        under a mesh it runs inside shard_map so each device executes the
+        kernel on its own env shard (pallas_call is not auto-partitionable;
+        everything per-env is embarrassingly parallel, so the body needs no
+        collectives)."""
+        args = (state.sim, params.dyn, params.dof_stiffness,
+                params.dof_damping, params.dof_friction, state.delay_steps,
+                dof_targets, state.last_dof_targets, push_f_w, push_t_w,
+                state.point_heights, state.point_normals)
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec
+
+            spec = PartitionSpec(self.axis_name)
+            # check_vma=False: pallas_call outputs carry no varying-mesh-
+            # axes metadata, so shard_map's vma check rejects kernel bodies
+            fn = jax.shard_map(
+                self._packed_inner, mesh=self.mesh,
+                in_specs=spec, out_specs=spec, check_vma=False)
+            return fn(*args)
+        return self._packed_inner(*args)
+
+    def _packed_inner(self, sim_in, dyn, kp, kd, dof_fric, delay_steps,
+                      dof_targets, last_dof_targets, push_f_w, push_t_w,
+                      point_heights, point_normals):
+        """Packed-layout decimation loop over a (possibly per-device) batch:
         state, PD math, and delay latching stay [comp, G, 8, 128] across all
         substeps — packing/unpacking happens once per control step instead
-        of once per substep (~11 ms/iter saved at 4096 envs)."""
+        of once per substep (~11 ms/iter saved at 4096 envs).  All inputs
+        and outputs are batch-leading arrays; the batch may be any size
+        (the kernel pads to tile granularity)."""
         sub = self.substep
         nd = self.model.num_dofs
-        B = self.num_envs
+        B = sim_in.q.shape[0]
         pack = sub.pack
-        psim = sub.pack_sim(state.sim)
-        pdyn = sub.pack_dyn(params.dyn)
+        psim = sub.pack_sim(sim_in)
+        pdyn = sub.pack_dyn(dyn)
         p_targets = pack(dof_targets, nd)
-        p_last = pack(state.last_dof_targets, nd)
-        p_kp = pack(params.dof_stiffness, nd)
-        p_kd = pack(params.dof_damping, nd)
-        p_fric = pack(params.dof_friction, nd)
-        p_delay = pack(state.delay_steps.astype(jnp.int32)[:, None], 1)
+        p_last = pack(last_dof_targets, nd)
+        p_kp = pack(kp, nd)
+        p_kd = pack(kd, nd)
+        p_fric = pack(dof_fric, nd)
+        p_delay = pack(delay_steps.astype(jnp.int32)[:, None], 1)
         p_ext = pack(jnp.concatenate([push_f_w, push_t_w], axis=-1), 6)
         p_ext0 = jnp.zeros_like(p_ext)
-        ph = pack(state.point_heights, self.model.num_points)
-        pn = pack(state.point_normals.reshape(B, -1), self.model.num_points * 3)
+        ph = pack(point_heights, self.model.num_points)
+        pn = pack(point_normals.reshape(B, -1), self.model.num_points * 3)
         lim = jnp.asarray(self.torque_limits)[:, None, None, None]
 
         def body(carry, i):
@@ -382,15 +425,15 @@ class T1:
             body, (psim, p_last, jnp.zeros_like(p_targets)),
             jnp.arange(self.decimation))
 
-        sim = sub.unpack_sim(psim)
-        last_targets = sub.unpack(p_last)
-        torques = sub.unpack(p_tsum) / self.decimation
+        sim = sub.unpack_sim(psim, B)
+        last_targets = sub.unpack(p_last, B)
+        torques = sub.unpack(p_tsum, B) / self.decimation
         nb, nf = self.model.num_bodies, len(self.feet_indices)
-        forces = sub.unpack(pf_seq[-1]).reshape(B, nb, 3)
-        feet = sub.unpack(pfeet_seq[-1]).reshape(B, nf, 12)
+        forces = sub.unpack(pf_seq[-1], B).reshape(B, nb, 3)
+        feet = sub.unpack(pfeet_seq[-1], B).reshape(B, nf, 12)
         feet_pos = feet[:, :, 0:3]
         feet_R = feet[:, :, 3:12].reshape(B, nf, 3, 3)
-        pt_xy = sub.unpack(pptxy_seq[-1]).reshape(B, self.model.num_points, 2)
+        pt_xy = sub.unpack(pptxy_seq[-1], B).reshape(B, self.model.num_points, 2)
         return sim, last_targets, torques, forces, feet_pos, feet_R, pt_xy
 
     # ------------------------------------------------------------------

@@ -46,10 +46,32 @@ def shard_batch_pytree(mesh, tree, batch_size, axis_name="dp"):
     return jax.tree.map(place, tree)
 
 
-def initialize_distributed():
+_DIST_ENV_SIGNALS = (
+    # deliberately only the explicit JAX coordinator variables: platform
+    # plumbing like TPU_WORKER_HOSTNAMES can be set on single-host machines
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
     """Multi-host entry: call before any jax computation on pod slices.
-    No-op when the process is the only host."""
-    try:
-        jax.distributed.initialize()
-    except Exception:
-        pass
+
+    Returns True when a multi-process runtime was initialized.  A genuinely
+    single-host run (no coordinator configured anywhere) is a quiet no-op,
+    but a *misconfigured* multi-host run fails loudly — silently degrading
+    to single-host training is the failure mode this guards against.
+    """
+    import os
+
+    explicit = coordinator_address is not None or num_processes is not None
+    env_signal = any(os.environ.get(k) for k in _DIST_ENV_SIGNALS)
+    if not (explicit or env_signal):
+        return False
+    # any failure from here (unreachable coordinator, wrong process count,
+    # double init) propagates: the caller asked for multi-host
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True

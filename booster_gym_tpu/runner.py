@@ -16,6 +16,11 @@ import jax.numpy as jnp
 
 from booster_gym_tpu.algo.ppo import PPO
 from booster_gym_tpu.envs import make_task
+from booster_gym_tpu.parallel import (
+    initialize_distributed,
+    make_mesh,
+    shard_batch_pytree,
+)
 from booster_gym_tpu.utils.recorder import Recorder, load_checkpoint, resolve_checkpoint
 
 
@@ -23,12 +28,38 @@ class Runner:
     def __init__(self, cfg, test=False):
         self.cfg = cfg
         self.test = test
+        # multi-host first (must precede any jax computation); a loud no-op
+        # on single-host runs (parallel/mesh.py)
+        self.distributed = initialize_distributed()
         self._set_seed()
         self.env = make_task(cfg)
         self.ppo = PPO(self.env, cfg)
+        self.mesh = self._build_mesh()
+        if self.mesh is not None:
+            self.env.set_mesh(self.mesh)
         self._train_iteration = jax.jit(self.ppo.train_iteration, donate_argnums=(1,))
         self._step = jax.jit(self.env.step)
         self._act = jax.jit(self.ppo.act)
+
+    def _build_mesh(self):
+        """Env-batch data parallelism over every available device (the
+        reference trains on exactly one GPU, SURVEY.md §2.4; here
+        `python train.py` uses the whole slice).  Uses the largest device
+        count that divides num_envs; 1 device needs no mesh."""
+        if self.cfg["basic"].get("data_parallel", True) is False:
+            return None
+        n = len(jax.devices())
+        B = self.env.num_envs
+        while n > 1 and B % n != 0:
+            n -= 1
+        if n <= 1:
+            return None
+        if n < len(jax.devices()):
+            print(f"data-parallel: num_envs={B} not divisible by "
+                  f"{len(jax.devices())} devices; using {n}")
+        else:
+            print(f"data-parallel: {n} devices x {B // n} envs/device")
+        return make_mesh(n)
 
     def _set_seed(self):
         seed = self.cfg["basic"]["seed"]
@@ -43,6 +74,11 @@ class Runner:
     # ------------------------------------------------------------------
     def _init_state(self):
         env_params, ts = self.ppo.init(jax.random.PRNGKey(self.seed))
+        if self.mesh is not None:
+            # env-batch leaves shard over dp, everything else replicates;
+            # jit propagates these shardings through the train iteration
+            env_params = shard_batch_pytree(self.mesh, env_params, self.env.num_envs)
+            ts = shard_batch_pytree(self.mesh, ts, self.env.num_envs)
         ckpt = self.cfg["basic"].get("checkpoint")
         if ckpt:
             path = resolve_checkpoint(ckpt)
@@ -87,10 +123,22 @@ class Runner:
         save_interval = self.cfg["runner"]["save_interval"]
         import time as _time
 
+        # --profile: capture a jax.profiler trace of iterations 11-13 (after
+        # compile+warmup) viewable in TensorBoard / Perfetto (SURVEY.md §5.1)
+        profile_dir = self.cfg["basic"].get("profile")
+        if profile_dir is True:
+            profile_dir = f"{recorder.dir}/profile"
+
         t_last = _time.time()
         steps_per_iter = self.cfg["runner"]["horizon_length"] * self.env.num_envs
         for it in range(int(ts.iteration), max_iterations):
+            if profile_dir and it == 10:
+                jax.profiler.start_trace(profile_dir)
             ts, metrics = self._train_iteration(env_params, ts)
+            if profile_dir and it == 13:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
             if (it + 1) % 10 == 0 or it == 0:
                 metrics = jax.device_get(metrics)
                 now = _time.time()

@@ -28,11 +28,19 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, help="Random seed.")
     parser.add_argument("--max_iterations", type=int, help="Training iterations.")
     parser.add_argument("--terrain", type=str, help="Override terrain type (plane/trimesh).")
+    parser.add_argument("--profile", nargs="?", const=True, default=None,
+                        help="Capture a jax.profiler trace (optional dir).")
+    parser.add_argument("--no_data_parallel", action="store_true",
+                        help="Disable the device mesh (single-device run).")
     return parser.parse_args(argv)
 
 
 def build_cfg(args):
     cfg = load_task_cfg(args.task)
+    if getattr(args, "profile", None) is not None:
+        cfg["basic"]["profile"] = args.profile
+    if getattr(args, "no_data_parallel", False):
+        cfg["basic"]["data_parallel"] = False
     for key in ("checkpoint", "headless", "seed", "max_iterations"):
         val = getattr(args, key, None)
         if val is not None:
