@@ -70,21 +70,33 @@ class Recorder:
             f.write(json.dumps(row) + "\n")
 
     def save(self, state_dict, it):
-        """Checkpoint a pytree of host arrays to nn/model_<it>.ckpt."""
-        path = os.path.join(self.model_dir, f"model_{it}.ckpt")
+        """Checkpoint a pytree to nn/model_<it> via orbax (versioned,
+        atomic-rename directory format — SURVEY.md §7.6); falls back to a
+        pickle .ckpt only if orbax is unavailable."""
         host = jax.tree.map(lambda x: np.asarray(x), state_dict)
-        with open(path, "wb") as f:
-            pickle.dump(host, f)
+        try:
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(os.path.join(self.model_dir, f"model_{it}"))
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(path, host, force=True)
+        except ImportError:  # pragma: no cover
+            path = os.path.join(self.model_dir, f"model_{it}.ckpt")
+            with open(path, "wb") as f:
+                pickle.dump(host, f)
         print(f"Saving model to {path}")
         return path
 
 
 def resolve_checkpoint(checkpoint, root="logs"):
     """-1 selects the newest checkpoint across runs (reference:
-    utils/runner.py:85-86, export_model.py:20-21)."""
+    utils/runner.py:85-86, export_model.py:20-21); both orbax directories
+    (model_<it>/) and legacy pickle files (model_<it>.ckpt) qualify."""
     if checkpoint in (-1, "-1"):
         paths = sorted(
-            glob.glob(os.path.join(root, "**", "*.ckpt"), recursive=True),
+            glob.glob(os.path.join(root, "**", "*.ckpt"), recursive=True)
+            + [os.path.dirname(p) for p in glob.glob(
+                os.path.join(root, "**", "_CHECKPOINT_METADATA"), recursive=True)],
             key=os.path.getmtime)
         if not paths:
             raise FileNotFoundError(f"no checkpoints under {root}")
@@ -93,5 +105,11 @@ def resolve_checkpoint(checkpoint, root="logs"):
 
 
 def load_checkpoint(path):
+    """Load either checkpoint format (orbax dir / pickle file)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path))
     with open(path, "rb") as f:
         return pickle.load(f)

@@ -27,6 +27,28 @@ def test_torchscript_actor_matches_jax():
     np.testing.assert_allclose(np.asarray(mu_jax), mu_torch, atol=1e-5)
 
 
+def test_stablehlo_actor_matches_jax(tmp_path):
+    """StableHLO export (jax.export, symbolic batch) reloads and matches
+    the flax actor numerically at multiple batch sizes."""
+    from jax import export as jax_export
+
+    from export_model import export_stablehlo
+
+    net = ActorCritic(12, 47, 14)
+    params = net.init(jax.random.PRNGKey(5), jnp.zeros((1, 47)), jnp.zeros((1, 14)))
+    path = str(tmp_path / "actor.stablehlo")
+    export_stablehlo(params, path)
+
+    with open(path, "rb") as f:
+        exp = jax_export.deserialize(bytearray(f.read()))
+    rng = np.random.default_rng(1)
+    for batch in (1, 7):
+        obs = rng.normal(size=(batch, 47)).astype(np.float32)
+        out = exp.call(jnp.asarray(obs))
+        mu_jax, _ = net.apply(params, jnp.asarray(obs), method=ActorCritic.act)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mu_jax), atol=1e-5)
+
+
 def test_roundtrip_through_file(tmp_path):
     net = ActorCritic(12, 47, 14)
     params = net.init(jax.random.PRNGKey(4), jnp.zeros((1, 47)), jnp.zeros((1, 14)))
