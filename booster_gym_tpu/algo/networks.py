@@ -29,31 +29,41 @@ def _torch_bias_init(fan_in):
 class MLP(nn.Module):
     features: tuple
     out_dim: int
+    # computation dtype for the dense layers.  The PPO update (20 full-batch
+    # mini-epochs over horizon x num_envs activations) is HBM-bandwidth
+    # bound; bf16 activations halve that traffic and use single-pass MXU
+    # matmuls.  Params and optimizer state stay f32 (param_dtype below);
+    # f32 inputs are equivalent to the reference's A100 TF32 matmuls at
+    # triple-pass (HIGH) precision.
+    compute_dtype: str = "bf16"
 
     @nn.compact
     def __call__(self, x):
-        # the framework-wide matmul default is HIGHEST (f32, needed by the
-        # physics); the RL MLPs dominate the update FLOPs and are fine at
-        # HIGH (bf16x3 passes, ~1e-6 relative) at roughly half the cost
-        precision = jax.lax.Precision.HIGH
+        bf16 = self.compute_dtype == "bf16"
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        precision = None if bf16 else jax.lax.Precision.HIGH
         for f in self.features:
             x = nn.Dense(
                 f, kernel_init=_torch_linear_init,
-                bias_init=_torch_bias_init(x.shape[-1]), precision=precision)(x)
+                bias_init=_torch_bias_init(x.shape[-1]), precision=precision,
+                dtype=dtype, param_dtype=jnp.float32)(x)
             x = nn.elu(x)
-        return nn.Dense(
+        out = nn.Dense(
             self.out_dim, kernel_init=_torch_linear_init,
-            bias_init=_torch_bias_init(x.shape[-1]), precision=precision)(x)
+            bias_init=_torch_bias_init(x.shape[-1]), precision=precision,
+            dtype=dtype, param_dtype=jnp.float32)(x)
+        return out.astype(jnp.float32)
 
 
 class ActorCritic(nn.Module):
     num_act: int
     num_obs: int
     num_privileged_obs: int
+    compute_dtype: str = "bf16"   # see MLP.compute_dtype
 
     def setup(self):
-        self.actor = MLP((256, 128, 128), self.num_act)
-        self.critic = MLP((256, 256, 128), 1)
+        self.actor = MLP((256, 128, 128), self.num_act, self.compute_dtype)
+        self.critic = MLP((256, 256, 128), 1, self.compute_dtype)
         self.logstd = self.param(
             "logstd", lambda key, shape: jnp.full(shape, -2.0), (1, self.num_act))
 

@@ -82,7 +82,9 @@ class PPO:
         self.base_lr = acfg["learning_rate"]
         self.horizon = cfg["runner"]["horizon_length"]
         self.mini_epochs = cfg["runner"]["mini_epochs"]
-        self.network = ActorCritic(env.num_actions, env.num_obs, env.num_privileged_obs)
+        self.network = ActorCritic(
+            env.num_actions, env.num_obs, env.num_privileged_obs,
+            compute_dtype=acfg.get("compute_dtype", "bf16"))
         self.tx = optax.chain(
             optax.clip_by_global_norm(acfg.get("grad_norm_clip", 1.0)),
             optax.inject_hyperparams(optax.adam)(learning_rate=self.base_lr),

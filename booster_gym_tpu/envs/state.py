@@ -22,6 +22,10 @@ class EnvParams(struct.PyTreeNode):
     dof_friction: jnp.ndarray        # [B, nd]  Coulomb joint friction torque
     base_mass_scaled: jnp.ndarray    # [B, 4] raw noise values -> privileged obs
     env_origins: jnp.ndarray         # [B, 3]
+    # terrain heightfield as a RUNTIME argument (keeps the step program
+    # free of multi-MB embedded constants).  [rows, cols] meters on
+    # trimesh; [1, 1] zeros placeholder on plane.
+    height_field: jnp.ndarray
 
 
 class EnvState(struct.PyTreeNode):
@@ -83,3 +87,8 @@ class EnvState(struct.PyTreeNode):
     # for the Pallas trimesh path (zeros/z on plane terrain or the XLA path)
     point_heights: jnp.ndarray        # [B, npt]
     point_normals: jnp.ndarray        # [B, npt, 3]
+
+    # terrain height under the root, refreshed once per control step from
+    # the local patch (consumed by termination, base-height reward, and the
+    # privileged obs; zeros on plane terrain)
+    terrain_height_root: jnp.ndarray  # [B]

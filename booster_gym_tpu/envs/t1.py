@@ -25,7 +25,12 @@ Documented divergences from the reference:
     of an exact fraction of a permutation (envs/t1.py:381);
   * pushes are applied on the first physics substep of each control step,
     which is when PhysX actually applies the once-per-step force tensor the
-    reference submits (envs/t1.py:522-527).
+    reference submits (envs/t1.py:522-527);
+  * on trimesh terrain the Pallas path holds each contact point's terrain
+    height/normal fixed across the 10 substeps of a control step (exact
+    values for ALL points, one fused gather per step; sub-mm staleness at
+    walking speeds).  Envs that just reset or teleported use the height
+    under their new root until their first step completes.
 """
 
 import os
@@ -148,11 +153,6 @@ class T1:
         )
         self.foot_shape_indices = np.array(
             [s for f in self.feet_indices for s in self.model.shape_indices_of_body(int(f))],
-            dtype=np.int32,
-        )
-        self._foot_point_indices = np.array(
-            [p for p in range(self.model.num_points)
-             if self.model.point_body[p] in self.feet_indices],
             dtype=np.int32,
         )
         self.feet_edge_pos = jnp.asarray(cfg["asset"]["feet_edge_pos"], jnp.float32)
@@ -294,10 +294,12 @@ class T1:
             body_mass=mass, body_com=com, body_inertia=inertia,
             shape_friction=shape_friction, shape_restitution=shape_restitution,
         )
+        hf = (self.terrain.height_field if self.terrain.height_field is not None
+              else jnp.zeros((1, 1), jnp.float32))
         return EnvParams(
             dyn=dyn, dof_stiffness=stiffness, dof_damping=damping,
             dof_friction=friction, base_mass_scaled=base_mass_scaled,
-            env_origins=self.env_origins,
+            env_origins=self.env_origins, height_field=hf,
         )
 
     # ------------------------------------------------------------------
@@ -330,6 +332,7 @@ class T1:
             contact_forces=z((B, nb, 3)),
             base_lin_vel=z((B, 3)), base_ang_vel=z((B, 3)),
             projected_gravity=jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (B, 1)),
+            terrain_height_root=z((B,)),
             point_heights=z((B, self.model.num_points)),
             point_normals=z((B, self.model.num_points, 3)).at[:, :, 2].set(1.0),
         )
@@ -341,6 +344,8 @@ class T1:
         key, k1, k2 = jax.random.split(state.key, 3)
         state = state.replace(key=key)
         state = self._reset_envs(params, state, mask, k1)
+        state = state.replace(terrain_height_root=self.terrain.heights(
+            state.sim.root_pos[:, :2], params.height_field))
         state = self._refresh_point_terrain(state)
         state = self._refresh_post_physics(params, state)
         state = state.replace(
@@ -468,7 +473,8 @@ class T1:
         # root states (envs/t1.py:327-341)
         pos_xy = params.env_origins[:, :2] + self.base_init_pos[:2]
         pos_xy = apply_randomization(keys[1], pos_xy, rcfg.get("init_base_pos_xy"))
-        pos_z = self.base_init_pos[2] + self.terrain.heights(pos_xy)
+        pos_z = self.base_init_pos[2] + self.terrain.heights(
+            pos_xy, params.height_field)
         yaw = jax.random.uniform(keys[2], (B,)) * 2 * jnp.pi
         quat = quat_from_euler_xyz(jnp.zeros(B), jnp.zeros(B), yaw)
         lin_xy = apply_randomization(keys[3], jnp.zeros((B, 2)), rcfg.get("init_base_lin_vel_xy"))
@@ -641,6 +647,10 @@ class T1:
         # (pt_xy from the last substep feeds the terrain refresh after resets)
 
         # --- post-physics (envs/t1.py:459-497)
+        # root terrain height once per step (termination, base-height
+        # reward, and privileged obs all read it from the state)
+        state = state.replace(terrain_height_root=self.terrain.heights(
+            state.sim.root_pos[:, :2], params.height_field))
         state = self._refresh_post_physics(
             params, state, feet_pos=feet_pos, feet_R=feet_R)
         state = state.replace(
@@ -659,24 +669,31 @@ class T1:
         reset_mask = state.reset_buf
         state = self._reset_envs(params, state, reset_mask, keys[2])
         state, moved_mask = self._teleport_robots(state)
-        if self.pallas_backend:
+        if self.pallas_backend and self.terrain.type != "plane":
             # refresh the carried contact-point terrain once per control
-            # step.  TPU gathers cost ~12 ns/element, so only the foot box
-            # corners get exact heights/normals; every other collision proxy
-            # (knees/shanks/trunk — they only touch terrain when the robot
-            # is already falling) uses the terrain under the root.  Reset or
-            # teleported envs fall back to the root value everywhere.
+            # step: EXACT heights/normals for every collision point.
+            # Reset or teleported envs have stale pt_xy and fall back to
+            # the value under their new root until their first step
+            # completes.
             fix = reset_mask | moved_mask
-            B = self.num_envs
-            h_root, n_root = self.terrain.heights_and_normals(state.sim.root_pos[:, :2])
-            fp = self._foot_point_indices
-            h_f, n_f = self.terrain.heights_and_normals(pt_xy[:, fp])
-            ph = jnp.broadcast_to(h_root[:, None], (B, self.model.num_points))
-            ph = ph.at[:, fp].set(jnp.where(fix[:, None], h_root[:, None], h_f))
-            pn = jnp.broadcast_to(n_root[:, None, :], (B, self.model.num_points, 3))
-            pn = pn.at[:, fp].set(
-                jnp.where(fix[:, None, None], n_root[:, None, :], n_f))
-            state = state.replace(point_heights=ph, point_normals=pn)
+            h_pt, n_pt = self.terrain.heights_and_normals(
+                pt_xy, params.height_field)
+            h_root2, n_root2 = self.terrain.heights_and_normals(
+                state.sim.root_pos[:, :2], params.height_field)
+            state = state.replace(
+                point_heights=jnp.where(fix[:, None], h_root2[:, None], h_pt),
+                point_normals=jnp.where(
+                    fix[:, None, None], n_root2[:, None, :], n_pt),
+                terrain_height_root=jnp.where(
+                    fix, h_root2, state.terrain_height_root))
+        elif self.terrain.type != "plane":
+            # XLA-engine backend queries terrain inside the substep; only
+            # the root height needs a post-reset refresh here
+            fix = reset_mask | moved_mask
+            state = state.replace(terrain_height_root=jnp.where(
+                fix, self.terrain.heights(
+                    state.sim.root_pos[:, :2], params.height_field),
+                state.terrain_height_root))
         state = self._resample_commands(state, keys[3])
         # refresh derived quantities for envs that were reset/teleported
         state = self._refresh_post_physics(params, state, reset_mask=reset_mask)
@@ -742,7 +759,7 @@ class T1:
         edge_w = (feet_pos.reshape(B * nf, 1, 3)
                   + jnp.einsum("xij,ej->xei", Rf, self.feet_edge_pos)
                   ).reshape(B, nf, -1, 3)
-        heights = self.terrain.heights(edge_w[..., :2])
+        heights = self.terrain.heights(edge_w[..., :2], params.height_field)
         feet_contact = jnp.any(edge_w[..., 2] - heights < 0.01, axis=-1)
 
         return state.replace(
@@ -791,7 +808,7 @@ class T1:
             reset = jnp.zeros(self.num_envs, bool)
         root_vel6 = jnp.concatenate([state.sim.root_lin_vel, state.sim.root_ang_vel], -1)
         reset |= jnp.sum(root_vel6 ** 2, axis=-1) > rcfg["terminate_vel"]
-        height = state.sim.root_pos[:, 2] - self.terrain.heights(state.sim.root_pos[:, :2])
+        height = state.sim.root_pos[:, 2] - state.terrain_height_root
         reset |= height < rcfg["terminate_height"]
         time_out = state.episode_length > self.max_episode_length
         reset |= time_out
@@ -837,7 +854,7 @@ class T1:
             ],
             axis=-1,
         )
-        height = state.sim.root_pos[:, 2] - self.terrain.heights(state.sim.root_pos[:, :2])
+        height = state.sim.root_pos[:, 2] - state.terrain_height_root
         privileged = jnp.concatenate(
             [
                 params.base_mass_scaled,
@@ -881,7 +898,7 @@ class T1:
         return jnp.exp(-jnp.square(err) / self.cfg["rewards"]["tracking_sigma"])
 
     def _reward_base_height(self, params, state):
-        height = state.sim.root_pos[:, 2] - self.terrain.heights(state.sim.root_pos[:, :2])
+        height = state.sim.root_pos[:, 2] - state.terrain_height_root
         return jnp.square(height - self.cfg["rewards"]["base_height_target"])
 
     def _reward_collision(self, params, state):

@@ -90,9 +90,11 @@ def _discrete_obstacles(h, rng, max_height, min_size, max_size, num_rects,
 class Terrain:
     """Static terrain shared by all envs.
 
-    heights()/normals() are jit-traceable (the heightfield array is a traced
-    constant); world (0,0) maps to grid index border_pixels exactly as in the
-    reference query (utils/terrain.py:107-108).
+    heights()/normals() are jit-traceable; hot paths should pass the
+    heightfield explicitly (hf=...) so it enters the program as a traced
+    operand rather than an embedded constant (see heights()).  World (0,0)
+    maps to grid index border_pixels exactly as in the reference query
+    (utils/terrain.py:107-108).
     """
 
     def __init__(self, cfg, seed=0):
@@ -138,11 +140,18 @@ class Terrain:
         # store in meters, f32, on device
         self.height_field = jnp.asarray(raw * vs, dtype=jnp.float32)
 
-    def heights(self, xy):
-        """Bilinear terrain height at world xy [..., 2] -> [...]."""
+    def heights(self, xy, hf=None):
+        """Bilinear terrain height at world xy [..., 2] -> [...].
+
+        Cost model (profiler-verified on v5e): XLA's TPU gather runs at
+        ~10 ns/element regardless of formulation — 4 corners x 8192 envs x
+        72 points = 24 ms.  Hot paths with many points should use the
+        Pallas sampling kernel (terrain/sample_kernel.py) instead; this
+        path is for small query sets (roots, resets) and CPU.  Pass the
+        heightfield via `hf` so it enters jitted programs as an operand."""
         if self.height_field is None:
             return jnp.zeros(xy.shape[:-1], dtype=jnp.float32)
-        hf = self.height_field
+        hf = self.height_field if hf is None else hf
         x = self.border_pixels + xy[..., 0] / self.horizontal_scale
         y = self.border_pixels + xy[..., 1] / self.horizontal_scale
         x = jnp.clip(x, 0.0, hf.shape[0] - 1.001)
@@ -159,14 +168,14 @@ class Terrain:
             + (1 - fx) * fy * h12 + fx * fy * h22
         )
 
-    def heights_and_normals(self, xy):
-        """Fused single-pass bilinear height + surface normal (shares the 4
-        corner gathers — TPU gathers are the expensive part, ~12 ns/elem)."""
+    def heights_and_normals(self, xy, hf=None):
+        """Fused single-pass bilinear height + surface normal (shares the
+        4 corner gathers; see heights() for the gather cost model)."""
         if self.height_field is None:
             h = jnp.zeros(xy.shape[:-1], dtype=jnp.float32)
             n = jnp.zeros(xy.shape[:-1] + (3,), dtype=jnp.float32)
             return h, n.at[..., 2].set(1.0)
-        hf = self.height_field
+        hf = self.height_field if hf is None else hf
         x = self.border_pixels + xy[..., 0] / self.horizontal_scale
         y = self.border_pixels + xy[..., 1] / self.horizontal_scale
         x = jnp.clip(x, 0.0, hf.shape[0] - 1.001)
@@ -185,12 +194,12 @@ class Terrain:
         n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
         return h, n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
-    def normals(self, xy):
+    def normals(self, xy, hf=None):
         """Surface normal of the bilinear patch at world xy [..., 2] -> [..., 3]."""
         if self.height_field is None:
             n = jnp.zeros(xy.shape[:-1] + (3,), dtype=jnp.float32)
             return n.at[..., 2].set(1.0)
-        hf = self.height_field
+        hf = self.height_field if hf is None else hf
         x = self.border_pixels + xy[..., 0] / self.horizontal_scale
         y = self.border_pixels + xy[..., 1] / self.horizontal_scale
         x = jnp.clip(x, 0.0, hf.shape[0] - 1.001)

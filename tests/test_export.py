@@ -14,7 +14,7 @@ from export_model import actor_params_to_torch
 
 
 def test_torchscript_actor_matches_jax():
-    net = ActorCritic(12, 47, 14)
+    net = ActorCritic(12, 47, 14, compute_dtype="f32")
     params = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 47)), jnp.zeros((1, 14)))
     actor = actor_params_to_torch(params)
     scripted = torch.jit.script(actor)
@@ -34,7 +34,7 @@ def test_stablehlo_actor_matches_jax(tmp_path):
 
     from export_model import export_stablehlo
 
-    net = ActorCritic(12, 47, 14)
+    net = ActorCritic(12, 47, 14, compute_dtype="f32")
     params = net.init(jax.random.PRNGKey(5), jnp.zeros((1, 47)), jnp.zeros((1, 14)))
     path = str(tmp_path / "actor.stablehlo")
     export_stablehlo(params, path)
@@ -50,7 +50,7 @@ def test_stablehlo_actor_matches_jax(tmp_path):
 
 
 def test_roundtrip_through_file(tmp_path):
-    net = ActorCritic(12, 47, 14)
+    net = ActorCritic(12, 47, 14, compute_dtype="f32")
     params = net.init(jax.random.PRNGKey(4), jnp.zeros((1, 47)), jnp.zeros((1, 14)))
     actor = actor_params_to_torch(params)
     path = str(tmp_path / "actor.pt")

@@ -81,3 +81,4 @@ def test_plane_queries():
     np.testing.assert_allclose(n, np.tile([0, 0, 1.0], (4, 1)))
     h, nn = t.heights_and_normals(xy)
     assert np.all(np.asarray(h) == 0)
+
