@@ -26,6 +26,9 @@ class EnvParams(struct.PyTreeNode):
     # free of multi-MB embedded constants).  [rows, cols] meters on
     # trimesh; [1, 1] zeros placeholder on plane.
     height_field: jnp.ndarray
+    # pre-sheared sampler table (terrain/sample_kernel.build_shift_table);
+    # [1, 8, 128] zeros placeholder on plane terrain
+    terrain_table: jnp.ndarray
 
 
 class EnvState(struct.PyTreeNode):

@@ -189,6 +189,18 @@ class T1:
         # engine-side feet outputs
         self.substep = self._select_backend(cfg)
 
+        # trimesh + Pallas: one sampler kernel answers every terrain query
+        # of a step (contact points + root + foot edges) without gathers
+        self.terrain_sampler = None
+        if self.pallas_backend and self.terrain.type != "plane":
+            from booster_gym_tpu.terrain.sample_kernel import make_terrain_sampler
+
+            n_queries = (self.model.num_points + 1
+                         + len(self.feet_indices) * self.feet_edge_pos.shape[0])
+            self.terrain_sampler = make_terrain_sampler(
+                self.terrain, n_queries,
+                interpret=jax.default_backend() != "tpu")
+
     # ------------------------------------------------------------------
     def _select_backend(self, cfg):
         """Pick the physics backend: the Pallas substep kernel runs ~100x
@@ -294,12 +306,19 @@ class T1:
             body_mass=mass, body_com=com, body_inertia=inertia,
             shape_friction=shape_friction, shape_restitution=shape_restitution,
         )
-        hf = (self.terrain.height_field if self.terrain.height_field is not None
-              else jnp.zeros((1, 1), jnp.float32))
+        if self.terrain.height_field is not None:
+            from booster_gym_tpu.terrain.sample_kernel import build_shift_table
+
+            hf = self.terrain.height_field
+            table = build_shift_table(hf)
+        else:
+            hf = jnp.zeros((1, 1), jnp.float32)
+            table = jnp.zeros((1, 8, 128), jnp.float32)
         return EnvParams(
             dyn=dyn, dof_stiffness=stiffness, dof_damping=damping,
             dof_friction=friction, base_mass_scaled=base_mass_scaled,
             env_origins=self.env_origins, height_field=hf,
+            terrain_table=table,
         )
 
     # ------------------------------------------------------------------
@@ -647,12 +666,31 @@ class T1:
         # (pt_xy from the last substep feeds the terrain refresh after resets)
 
         # --- post-physics (envs/t1.py:459-497)
-        # root terrain height once per step (termination, base-height
-        # reward, and privileged obs all read it from the state)
-        state = state.replace(terrain_height_root=self.terrain.heights(
-            state.sim.root_pos[:, :2], params.height_field))
+        # one terrain-sampler kernel call answers every query of the step:
+        # all contact points, the root, and the foot edge points (terrain/
+        # sample_kernel.py; XLA gathers would cost ~25 ms at 8192 envs)
+        edge_w = self._feet_edge_world(feet_pos, feet_R)
+        pt_h = pt_n = root_h = edge_h = None
+        if self.terrain_sampler is not None:
+            B, npt = self.num_envs, self.model.num_points
+            nf, ne = edge_w.shape[1], edge_w.shape[2]
+            queries = jnp.concatenate([
+                pt_xy,
+                state.sim.root_pos[:, None, :2],
+                edge_w[..., :2].reshape(B, nf * ne, 2),
+            ], axis=1)
+            h_all, n_all = self.terrain_sampler(
+                params.terrain_table, state.sim.root_pos[:, :2], queries)
+            pt_h, pt_n = h_all[:, :npt], n_all[:, :npt]
+            root_h = h_all[:, npt]
+            edge_h = h_all[:, npt + 1:].reshape(B, nf, ne)
+        else:
+            root_h = self.terrain.heights(
+                state.sim.root_pos[:, :2], params.height_field)
+        state = state.replace(terrain_height_root=root_h)
         state = self._refresh_post_physics(
-            params, state, feet_pos=feet_pos, feet_R=feet_R)
+            params, state, feet_pos=feet_pos, feet_R=feet_R,
+            edge_w=edge_w, edge_heights=edge_h)
         state = state.replace(
             episode_length=state.episode_length + 1,
             common_step_counter=state.common_step_counter + 1,
@@ -670,20 +708,18 @@ class T1:
         state = self._reset_envs(params, state, reset_mask, keys[2])
         state, moved_mask = self._teleport_robots(state)
         if self.pallas_backend and self.terrain.type != "plane":
-            # refresh the carried contact-point terrain once per control
-            # step: EXACT heights/normals for every collision point.
-            # Reset or teleported envs have stale pt_xy and fall back to
-            # the value under their new root until their first step
-            # completes.
+            # carry the sampled contact-point terrain (EXACT heights/
+            # normals for every collision point) into the next control
+            # step.  Reset or teleported envs have stale pt_xy and fall
+            # back to the value under their new root (one small direct
+            # gather) until their first step completes.
             fix = reset_mask | moved_mask
-            h_pt, n_pt = self.terrain.heights_and_normals(
-                pt_xy, params.height_field)
             h_root2, n_root2 = self.terrain.heights_and_normals(
                 state.sim.root_pos[:, :2], params.height_field)
             state = state.replace(
-                point_heights=jnp.where(fix[:, None], h_root2[:, None], h_pt),
+                point_heights=jnp.where(fix[:, None], h_root2[:, None], pt_h),
                 point_normals=jnp.where(
-                    fix[:, None, None], n_root2[:, None, :], n_pt),
+                    fix[:, None, None], n_root2[:, None, :], pt_n),
                 terrain_height_root=jnp.where(
                     fix, h_root2, state.terrain_height_root))
         elif self.terrain.type != "plane":
@@ -714,8 +750,17 @@ class T1:
         return state, obs, rew, reset_mask, info
 
     # ------------------------------------------------------------------
+    def _feet_edge_world(self, feet_pos, feet_R):
+        """Foot edge points in world frame [B, nf, ne, 3]; merged-batch
+        matmul (nested-batch einsums lower poorly on TPU)."""
+        B, nf = feet_pos.shape[:2]
+        Rf = feet_R.reshape(B * nf, 3, 3)
+        return (feet_pos.reshape(B * nf, 1, 3)
+                + jnp.einsum("xij,ej->xei", Rf, self.feet_edge_pos)
+                ).reshape(B, nf, -1, 3)
+
     def _refresh_post_physics(self, params, state, feet_pos=None, feet_R=None,
-                              reset_mask=None):
+                              reset_mask=None, edge_w=None, edge_heights=None):
         """Base-frame velocities, EMA filters, feet state
         (envs/t1.py:463-474, :529-549).
 
@@ -752,15 +797,13 @@ class T1:
         roll = jnp.arctan2(feet_R[..., 2, 1], feet_R[..., 2, 2])
         yaw = jnp.arctan2(feet_R[..., 1, 0], feet_R[..., 0, 0])
 
-        # edge-point contact detection (envs/t1.py:535-549); merged-batch
-        # matmul (nested-batch einsums lower poorly on TPU)
-        B, nf = feet_pos.shape[:2]
-        Rf = feet_R.reshape(B * nf, 3, 3)
-        edge_w = (feet_pos.reshape(B * nf, 1, 3)
-                  + jnp.einsum("xij,ej->xei", Rf, self.feet_edge_pos)
-                  ).reshape(B, nf, -1, 3)
-        heights = self.terrain.heights(edge_w[..., :2], params.height_field)
-        feet_contact = jnp.any(edge_w[..., 2] - heights < 0.01, axis=-1)
+        # edge-point contact detection (envs/t1.py:535-549)
+        if edge_w is None:
+            edge_w = self._feet_edge_world(feet_pos, feet_R)
+        if edge_heights is None:
+            edge_heights = self.terrain.heights(
+                edge_w[..., :2], params.height_field)
+        feet_contact = jnp.any(edge_w[..., 2] - edge_heights < 0.01, axis=-1)
 
         return state.replace(
             base_lin_vel=base_lin_vel, base_ang_vel=base_ang_vel,

@@ -82,3 +82,26 @@ def test_plane_queries():
     h, nn = t.heights_and_normals(xy)
     assert np.all(np.asarray(h) == 0)
 
+
+
+def test_sampler_kernel_matches_direct(terrain):
+    """The Pallas terrain-sampling pipeline (DMA patch staging + one-hot
+    bilinear, terrain/sample_kernel.py) is bilinear-exact vs the direct
+    gather path for points within the patch radius of each root."""
+    from booster_gym_tpu.terrain.sample_kernel import (
+        build_shift_table,
+        make_terrain_sampler,
+    )
+    from booster_gym_tpu.utils.compile import jit_nofusion
+
+    table = build_shift_table(terrain.height_field)
+    B, N = 256, 33
+    rng = np.random.default_rng(3)
+    root = jnp.asarray(rng.uniform(5, 55, (B, 2)), jnp.float32)
+    pts = root[:, None, :] + jnp.asarray(
+        rng.uniform(-0.55, 0.55, (B, N, 2)), jnp.float32)
+    sample = jit_nofusion(make_terrain_sampler(terrain, N, interpret=True))
+    h, n = sample(table, root, pts)
+    h_ref, n_ref = terrain.heights_and_normals(pts)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref), atol=2e-5)
