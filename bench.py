@@ -1,6 +1,9 @@
 """Benchmark: end-to-end PPO training throughput on the T1 task.
 
-Prints ONE JSON line:
+Prints ONE JSON line (stdout carries ONLY this line; all diagnostics go to
+stderr — guaranteed on every exit path including backend failures, alarms,
+and unexpected exceptions):
+
   {"metric": "env_steps_per_sec_per_chip", "value": N, "unit": "env-steps/s",
    "vs_baseline": N}
 
@@ -12,29 +15,126 @@ A100 throughput for this task (the reference publishes no number —
 BASELINE.md documents the assumption; >= 0.625 here corresponds to the
 "10x A100 aggregate on a 16-chip v5p" target).
 
-Extra diagnostics go to stderr; stdout carries only the JSON line.
+Backend hardening (round-2 BENCH failure: the TPU plugin raised UNAVAILABLE
+at capture time and the script died before the JSON line): backend init is
+retried with backoff and backend-cache clearing; if it never comes up, the
+JSON line is still emitted with "value": null and an "error" diagnosis.  A
+SIGALRM watchdog bounds total runtime so a hang also produces the line.
 """
 
 import json
+import signal
 import sys
 import time
 
-import jax
+import os as _os
 
 A100_BASELINE_ENV_STEPS_PER_SEC = 100_000.0
+# watchdog: emit an error JSON line instead of hanging (env-overridable for
+# tests and for drivers with their own tighter deadline)
+TOTAL_TIMEOUT_S = float(_os.environ.get("BENCH_TIMEOUT_S", 3000))
+
+_emitted = False
+_succeeded = False
 
 
-def main():
+def emit(value, extra=None):
+    """Print the single stdout JSON line (at most once)."""
+    global _emitted, _succeeded
+    if _emitted:
+        return
+    _emitted = True
+    _succeeded = value is not None
+    line = {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(value, 1) if value is not None else None,
+        "unit": "env-steps/s",
+        "vs_baseline": (
+            round(value / A100_BASELINE_ENV_STEPS_PER_SEC, 3)
+            if value is not None else None
+        ),
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _devices_with_timeout(timeout_s):
+    """jax.devices() in a daemon thread with a join timeout.
+
+    The axon TPU plugin has been observed to HANG during setup (not just
+    error), blocked in native code where SIGALRM can't preempt it; a
+    side thread + join timeout is the only reliable bound.  Returns
+    (devices_or_None, error_string_or_None); on timeout both describe it.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+        try:
+            result["devs"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - diagnose anything
+            result["err"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return None, f"backend init hung > {timeout_s:.0f}s"
+    return result.get("devs"), result.get("err")
+
+
+def _init_devices(retries=3, base_delay=15.0, attempt_timeout_s=600.0):
+    """jax.devices() with retry and per-attempt hang timeout.
+
+    The axon TPU plugin intermittently fails setup with UNAVAILABLE
+    (BENCH_r02) or hangs outright; jax caches the failed backend, so clear
+    backends between attempts.  Returns (devices, error_string_or_None).
+    """
+    last = None
+    for attempt in range(retries):
+        devs, err = _devices_with_timeout(attempt_timeout_s)
+        if devs is not None:
+            return devs, None
+        last = err
+        print(f"backend init attempt {attempt + 1}/{retries} failed: "
+              f"{last}", file=sys.stderr)
+        if "hung" in (err or ""):
+            # the probe thread is still stuck inside the plugin; a retry in
+            # this process would just pile up — report and bail
+            return None, last
+        try:
+            import jax.extend.backend as jeb
+            jeb.clear_backends()
+        except Exception as ce:  # noqa: BLE001
+            print(f"clear_backends failed: {ce}", file=sys.stderr)
+        if attempt < retries - 1:
+            time.sleep(base_delay * (attempt + 1))
+    return None, last
+
+
+def run_bench():
+    import jax
+
     from booster_gym_tpu.algo import PPO
     from booster_gym_tpu.envs import make_task
     from booster_gym_tpu.utils.config import load_task_cfg
 
-    num_envs = 4096
+    devs, err = _init_devices()
+    if devs is None:
+        emit(None, {"error": f"backend init failed after retries: {err}"})
+        return
+    print(f"devices: {devs}", file=sys.stderr)
+
+    # BENCH_NUM_ENVS: smoke-test override (e.g. tiny CPU run of the full
+    # success path); the driver contract always runs the 4096 default
+    num_envs = int(_os.environ.get("BENCH_NUM_ENVS", 4096))
     cfg = load_task_cfg("T1")
     cfg["env"]["num_envs"] = num_envs
     cfg["terrain"]["type"] = "plane"
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
     env = make_task(cfg)
     ppo = PPO(env, cfg)
 
@@ -45,7 +145,7 @@ def main():
     jax.block_until_ready(ts.obs)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    n_dev = len(jax.devices())
+    n_dev = len(devs)
     if n_dev > 1 and num_envs % n_dev == 0:
         from booster_gym_tpu.parallel import make_mesh, shard_batch_pytree
 
@@ -73,20 +173,56 @@ def main():
 
     env_steps = iters * cfg["runner"]["horizon_length"] * num_envs
     steps_per_sec = env_steps / dt
-    n_chips = max(1, len(jax.devices()))
-    per_chip = steps_per_sec / n_chips
+    per_chip = steps_per_sec / max(1, n_dev)
     print(
         f"{iters} iters in {dt:.2f}s -> {steps_per_sec:,.0f} env-steps/s "
         f"({per_chip:,.0f}/chip), sim-steps/s {steps_per_sec * 10:,.0f}, "
         f"reward={float(metrics['reward']):.3f}",
         file=sys.stderr,
     )
-    print(json.dumps({
-        "metric": "env_steps_per_sec_per_chip",
-        "value": round(per_chip, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(per_chip / A100_BASELINE_ENV_STEPS_PER_SEC, 3),
-    }))
+    emit(per_chip)
+
+
+def main():
+    """Run the bench in a worker thread; keep the main thread free.
+
+    A hung XLA/plugin call blocks signal delivery to the thread it runs in,
+    so the watchdog (and SIGTERM from an external `timeout`) only works if
+    the main thread stays in interruptible Python code: it sits in a
+    join-with-deadline loop and force-emits the JSON line on timeout/signal.
+    """
+    import os
+    import threading
+
+    def _term(signum, frame):  # noqa: ARG001
+        emit(None, {"error": f"killed by signal {signum}"})
+        sys.stdout.flush()
+        os._exit(1)
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+        signal.signal(signal.SIGINT, _term)
+    except (ValueError, OSError) as e:  # platform quirk
+        print(f"no signal handlers: {e}", file=sys.stderr)
+
+    def worker():
+        try:
+            run_bench()
+        except BaseException as e:  # noqa: BLE001 - the JSON line must win
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            emit(None, {"error": f"{type(e).__name__}: {e}"})
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    th.join(TOTAL_TIMEOUT_S)
+    if th.is_alive():
+        emit(None, {"error": f"watchdog: bench exceeded {TOTAL_TIMEOUT_S}s"})
+        sys.stdout.flush()
+        os._exit(1)
+    emit(None, {"error": "bench finished without a measurement"})
+    sys.stdout.flush()
+    os._exit(0 if _succeeded else 1)
 
 
 if __name__ == "__main__":

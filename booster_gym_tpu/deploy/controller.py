@@ -84,6 +84,11 @@ class Controller:
         self.running = True
         self.publish_lock = threading.Lock()
         self.publish_runner = None
+        # teleop staleness watchdog (set via set_teleop_client): when the
+        # stream goes stale the arm targets are explicitly frozen instead of
+        # merely happening to stop updating
+        self.teleop_client = None
+        self._teleop_stale_logged = False
 
         self.native_publisher = None
         if use_native_publisher:
@@ -195,8 +200,16 @@ class Controller:
         for i in LOWER_BODY_INDICES:
             self.dof_target[i] = targets[i]
         if self.upper_body_mode is UpperBodyMode.TELEOP:
-            with self.publish_lock:
-                self.dof_target[UPPER_BODY_INDICES] = self.manual_upper_body_positions
+            if self.teleop_client is not None and self.teleop_client.stale():
+                # watchdog: dead/quiet stream — hold the last applied arm
+                # targets rather than chase whatever arrives next
+                if not self._teleop_stale_logged:
+                    logger.warning("teleop stream stale; holding arm targets")
+                    self._teleop_stale_logged = True
+            else:
+                self._teleop_stale_logged = False
+                with self.publish_lock:
+                    self.dof_target[UPPER_BODY_INDICES] = self.manual_upper_body_positions
         elif self.upper_body_mode is UpperBodyMode.SINE:
             with self.publish_lock:
                 self.dof_target[UPPER_BODY_INDICES] = self.sine_upper_body_positions
@@ -204,6 +217,10 @@ class Controller:
             for i in UPPER_BODY_INDICES:
                 self.dof_target[i] = targets[i]
         return True
+
+    def set_teleop_client(self, client):
+        """Register the teleop client whose `stale()` gates arm updates."""
+        self.teleop_client = client
 
     def set_upper_body_positions(self, positions):
         with self.publish_lock:

@@ -70,6 +70,7 @@ def main():
             from booster_gym_tpu.deploy.teleop import WebSocketArmClient
 
             teleop_client = WebSocketArmClient(controller, uri=args.teleop_uri)
+            controller.set_teleop_client(teleop_client)
             teleop_client.start()
             print(f"teleop client connecting to {args.teleop_uri}")
         if not args.mock:

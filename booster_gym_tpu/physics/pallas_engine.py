@@ -11,8 +11,13 @@ per-point contact solve, and integration — as one Pallas program:
     time into pure VPU arithmetic with zero layout traffic;
   * the kinematic tree, joint frames, collision points, and ancestor sets
     are Python-level constants baked into the instruction stream;
-  * plane terrain only (normal = z, height = 0) — the heightfield gather for
-    trimesh terrain needs XLA's gather and uses the engine.py path.
+  * terrain enters as per-collision-point heights/normals (`ph`, `pn`
+    inputs of `packed_call`, packed like every other component): flat
+    ground passes constants; heightfield terrain samples them ONCE per
+    control step (terrain/sample_kernel.py DMA sampler, driven from
+    envs/t1.py) and holds them fixed across the 10 substeps — one-substep-
+    stale terrain in exchange for a gather-free kernel body.  The general
+    contact projection uses the per-point normal, not a hardcoded z-up.
 
 Layout convention: host arrays are packed component-first, batch-last:
 [comp, G, 8, 128] with G = B / 1024 grid steps.

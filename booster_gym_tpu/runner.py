@@ -131,27 +131,40 @@ class Runner:
 
         t_last = _time.time()
         steps_per_iter = self.cfg["runner"]["horizon_length"] * self.env.num_envs
-        for it in range(int(ts.iteration), max_iterations):
-            if profile_dir and it == 10:
-                jax.profiler.start_trace(profile_dir)
-            ts, metrics = self._train_iteration(env_params, ts)
-            if profile_dir and it == 13:
-                jax.block_until_ready(metrics)
+        # trace iterations are relative to the resume point so `--checkpoint`
+        # resumes can still be profiled; trace_active pairs every start with
+        # exactly one stop (incl. the end-of-loop finally)
+        start_it = int(ts.iteration)
+        trace_active = False
+        try:
+            for it in range(start_it, max_iterations):
+                if profile_dir and it == start_it + 10:
+                    jax.profiler.start_trace(profile_dir)
+                    trace_active = True
+                ts, metrics = self._train_iteration(env_params, ts)
+                if trace_active and it >= start_it + 13:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    trace_active = False
+                    print(f"profiler trace written to {profile_dir}")
+                if (it + 1) % 10 == 0 or it == 0:
+                    metrics = jax.device_get(metrics)
+                    now = _time.time()
+                    n_iters = 1 if it == 0 else 10
+                    fps = steps_per_iter * n_iters / (now - t_last)
+                    t_last = now
+                    metrics["env_steps_per_sec"] = fps
+                    recorder.record_statistics(metrics, it)
+                    print(
+                        f"epoch: {it + 1}/{max_iterations} reward={metrics['reward']:.3f} "
+                        f"steps/s={fps:,.0f}")
+                if (it + 1) % save_interval == 0:
+                    recorder.save(self._checkpoint_dict(ts), it + 1)
+        finally:
+            if trace_active:
+                jax.block_until_ready(ts)
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}")
-            if (it + 1) % 10 == 0 or it == 0:
-                metrics = jax.device_get(metrics)
-                now = _time.time()
-                n_iters = 1 if it == 0 else 10
-                fps = steps_per_iter * n_iters / (now - t_last)
-                t_last = now
-                metrics["env_steps_per_sec"] = fps
-                recorder.record_statistics(metrics, it)
-                print(
-                    f"epoch: {it + 1}/{max_iterations} reward={metrics['reward']:.3f} "
-                    f"steps/s={fps:,.0f}")
-            if (it + 1) % save_interval == 0:
-                recorder.save(self._checkpoint_dict(ts), it + 1)
         recorder.save(self._checkpoint_dict(ts), max_iterations)
         return ts
 

@@ -48,15 +48,22 @@ def build_shift_table(height_field):
     """[S, R, PY] pre-sheared copies: table[s, r, c] = hf[r, 8*s + c].
 
     Built once at terrain construction (NumPy); the table is what training
-    passes around at runtime (~11 MB for the T1 terrain)."""
-    hf = np.asarray(height_field)
+    passes around at runtime (~11 MB for the T1 terrain).
+
+    Padding (row round-up to 8, and the last copies' column windows that
+    extend past the field edge) is filled with the EDGE value, not zero, so
+    queries near the map border read the clamped border height — the same
+    semantics as heightfield.heights()'s index clamp.  This holds even if
+    a future terrain drops the flat zero border the T1 config builds."""
+    hf = np.asarray(height_field, np.float32)
     R, C = hf.shape
     Rp = -(-R // 8) * 8
     S = max(1, (max(0, C - 17) // 8) + 1)
-    table = np.zeros((S, Rp, PY), np.float32)
+    rows = np.minimum(np.arange(Rp), R - 1)
+    table = np.empty((S, Rp, PY), np.float32)
     for s in range(S):
-        cols = hf[:, 8 * s: 8 * s + PY]
-        table[s, :R, : cols.shape[1]] = cols
+        cols = np.minimum(np.arange(8 * s, 8 * s + PY), C - 1)
+        table[s] = hf[np.ix_(rows, cols)]
     return jnp.asarray(table)
 
 

@@ -28,10 +28,16 @@ def jit_nofusion(fn, static_argnums=()):
         return jfn
     cache = {}
 
+    def _leaf_key(x):
+        # arrays key on shape/dtype; anything else (e.g. a value passed
+        # through static_argnums) keys on its VALUE — two calls differing
+        # only in a static int must not share a compiled executable
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return (tuple(x.shape), str(x.dtype))
+        return repr(x)
+
     def call(*args):
-        key = str(jax.tree.map(
-            lambda x: (getattr(x, "shape", None), str(getattr(x, "dtype", type(x)))),
-            args))
+        key = str(jax.tree.map(_leaf_key, args))
         if key not in cache:
             cache[key] = jfn.lower(*args).compile(
                 compiler_options=_CPU_COMPILER_OPTIONS)

@@ -151,3 +151,47 @@ def test_standup_state_machine(deploy_cfg):
     # standup stays latched until operator resets (reference behavior)
     assert ctrl.control_mode is ControlMode.STANDUP
     ctrl.cleanup()
+
+
+@pytest.mark.skipif(not os.path.exists(PRETRAINED), reason="no pretrained policy")
+def test_teleop_stale_freezes_arm_targets(deploy_cfg):
+    """When the teleop stream goes stale the controller explicitly freezes
+    arm targets instead of chasing manual_upper_body_positions updates."""
+
+    class FakeClient:
+        def __init__(self):
+            self.is_stale = False
+
+        def stale(self):
+            return self.is_stale
+
+    robot = MockRobot(dt=deploy_cfg["common"]["dt"])
+    remote = ScriptedRemote(auto_start=True)
+    ctrl = Controller(deploy_cfg, robot, remote, policy_path=PRETRAINED,
+                      sim_time=True, upper_body_mode=UpperBodyMode.TELEOP)
+    client = FakeClient()
+    ctrl.set_teleop_client(client)
+    ctrl.start_custom_mode(wait=False)
+    ctrl.start_rl_gait(wait=False, threaded_publisher=False)
+
+    # live stream: arm targets follow incoming positions
+    ctrl.set_upper_body_positions(np.full(10, 0.25, np.float32))
+    robot.tick(10)
+    ctrl.run_inference_step()
+    live = ctrl.dof_target[:10].copy()
+    np.testing.assert_allclose(live, 0.25, atol=1e-6)
+
+    # stale stream: new positions arrive but targets hold the last pose
+    client.is_stale = True
+    ctrl.set_upper_body_positions(np.full(10, 0.9, np.float32))
+    for _ in range(10):
+        robot.tick(10)
+        ctrl.run_inference_step()
+    np.testing.assert_allclose(ctrl.dof_target[:10], live, atol=1e-6)
+
+    # recovery: fresh messages resume tracking
+    client.is_stale = False
+    robot.tick(10)
+    ctrl.run_inference_step()
+    np.testing.assert_allclose(ctrl.dof_target[:10], 0.9, atol=1e-6)
+    ctrl.cleanup()
