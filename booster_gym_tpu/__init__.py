@@ -24,6 +24,13 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# mujoco (the cross-sim oracle / offline renderer) binds its GL backend by
+# MUJOCO_GL at import time; the headless default (glfw/X11) hard-aborts at
+# first offscreen render.  Default to Mesa software EGL before anything can
+# import mujoco.  Real-display interactive use is untouched.
+if "MUJOCO_GL" not in _os.environ and not _os.environ.get("DISPLAY"):
+    _os.environ["MUJOCO_GL"] = "egl"
+
 import jax as _jax
 
 # Physics kernels are f32 small-matmul chains; TPU matmuls default to bf16
@@ -35,8 +42,34 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # XLA compiles of the physics programs take minutes through this TPU's
 # remote compile service; a persistent cache makes every process after the
 # first start in seconds.
+#
+# The cache dir is namespaced by a host-CPU signature: XLA:CPU AOT results
+# encode the compiling machine's ISA features but the cache key does NOT,
+# so loading entries produced on a different CPU risks SIGILL ("Machine
+# type used for compilation doesn't match...").  A different machine simply
+# gets a fresh subdirectory and recompiles.
+
+
+def _host_cpu_tag():
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256(feats.encode()).hexdigest()[:8]
+    return f"{platform.machine()}-{h}"
+
+
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    _cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+    _cache = _os.path.join(
+        _os.path.dirname(__file__), "..", ".jax_cache", _host_cpu_tag())
     try:
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))

@@ -3,7 +3,10 @@ envs/__init__.py + eval() dispatch (reference: utils/runner.py:27-28)."""
 
 from booster_gym_tpu.envs.t1 import T1
 
-TASKS = {"T1": T1}
+# T1Serial is the same task class on the full 23-DoF serial asset — the env
+# is config-driven end to end (obs/action dims, gains, assets all follow
+# envs/configs/T1Serial.yaml)
+TASKS = {"T1": T1, "T1Serial": T1}
 
 
 def make_task(cfg):

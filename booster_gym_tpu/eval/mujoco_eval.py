@@ -12,7 +12,47 @@ params and TorchScript actors are provided, so both our checkpoints and the
 reference's shipped deploy/models/T1.pt run through the same harness.
 """
 
+import os
+import re
+
 import numpy as np
+
+# mujoco binds its GL backend by MUJOCO_GL at import time; on a headless
+# host the default (glfw/X11) hard-aborts at first offscreen render, so
+# pick EGL (Mesa software EGL works in GL-less containers) before any
+# `import mujoco` can run.  Interactive use on a real display is untouched.
+if "MUJOCO_GL" not in os.environ and not os.environ.get("DISPLAY"):
+    os.environ["MUJOCO_GL"] = "egl"
+
+
+def load_mjcf(path):
+    """mujoco.MjModel from an MJCF path, tolerating scene-less files.
+
+    The reference's T1_serial.xml (reference: resources/T1/T1_serial.xml:211)
+    references a `ground` plane geom in its <contact> pairs but never
+    defines one — it expects to be composed into a scene file.  When the
+    direct load fails on that missing geom, patch the XML in memory: make
+    meshdir absolute (string loads resolve relative to the cwd) and insert
+    a ground plane matching T1_locomotion.xml:36's (plane, condim=1).
+    """
+    import mujoco
+
+    try:
+        return mujoco.MjModel.from_xml_path(path)
+    except ValueError:
+        with open(path) as f:
+            xml = f.read()
+        base = os.path.dirname(os.path.abspath(path))
+        xml = re.sub(
+            r'meshdir="([^"]+)"',
+            lambda m: f'meshdir="{os.path.join(base, m.group(1))}"',
+            xml)
+        xml = xml.replace(
+            "<worldbody>",
+            '<worldbody>\n    <geom name="ground" type="plane" '
+            'pos="0 0 0" size="0 0 1" condim="1"/>',
+            1)
+        return mujoco.MjModel.from_xml_string(xml)
 
 
 def quat_rotate_inverse_np(q_xyzw, v):

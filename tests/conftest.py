@@ -13,12 +13,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# the package wires the persistent compile cache to the host-CPU-namespaced
+# .jax_cache/<machine-tag>/ subdir (safe against cross-machine AOT reuse)
+import booster_gym_tpu  # noqa: E402, F401
 
 import pytest  # noqa: E402
 

@@ -1,11 +1,15 @@
 """On-TPU validation of the Pallas substep kernel vs the XLA engine.
 
-The interpreter-mode equivalence test (tests/test_pallas.py) is exact but
-slow; this script compiles both paths on the real chip, compares a random
-mixed-contact state batch, and reports throughput.  Run: python
-tools/validate_pallas_tpu.py
+The interpreter-mode equivalence tests (tests/test_pallas.py, and
+tests/test_serial_model.py for the 23-DoF tree) are exact but slow; this
+script compiles both paths on the real chip, compares a random
+mixed-contact state batch, and reports throughput.
+
+Run: python tools/validate_pallas_tpu.py [--urdf PATH] [--batch N]
+     python tools/validate_pallas_tpu.py --urdf /root/reference/resources/T1/T1_serial.urdf
 """
 
+import argparse
 import time
 
 import numpy as np
@@ -18,13 +22,19 @@ from booster_gym_tpu.physics.engine import make_substep
 from booster_gym_tpu.physics.pallas_engine import make_substep_pallas
 from booster_gym_tpu.terrain import Terrain
 
+DEFAULT_URDF = "/root/reference/resources/T1/T1_locomotion.urdf"
 
-def main(B=4096):
-    model = load_urdf("/root/reference/resources/T1/T1_locomotion.urdf")
+
+def main(urdf=DEFAULT_URDF, B=4096):
+    model = load_urdf(urdf)
+    nd = model.num_dofs
+    ns = len(model.shape_body)
+    print(f"{urdf}: {model.num_bodies} bodies, {nd} dofs, "
+          f"{model.num_points} contact points")
     cfg = SimConfig()
     terrain = Terrain({"type": "plane", "static_friction": 1.0, "restitution": 0.0})
     rng = np.random.default_rng(0)
-    q = rng.uniform(0.7 * model.dof_lower, 0.7 * model.dof_upper, (B, 12)).astype(np.float32)
+    q = rng.uniform(0.7 * model.dof_lower, 0.7 * model.dof_upper, (B, nd)).astype(np.float32)
     quat = rng.normal(size=(B, 4)).astype(np.float32)
     quat[: B // 2] = np.array([1, 0, 0, 0], np.float32)
     quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
@@ -35,13 +45,13 @@ def main(B=4096):
         root_lin_vel=jnp.asarray(rng.uniform(-1, 1, (B, 3)), jnp.float32),
         root_ang_vel=jnp.asarray(rng.uniform(-1, 1, (B, 3)), jnp.float32),
         q=jnp.asarray(q),
-        qd=jnp.asarray(rng.uniform(-1, 1, (B, 12)), jnp.float32))
+        qd=jnp.asarray(rng.uniform(-1, 1, (B, nd)), jnp.float32))
     t = lambda x, reps: jnp.tile(jnp.asarray(x, jnp.float32), reps)
     dyn = DynParams(
         body_mass=t(model.body_mass, (B, 1)), body_com=t(model.body_com, (B, 1, 1)),
         body_inertia=t(model.body_inertia, (B, 1, 1, 1)),
-        shape_friction=jnp.ones((B, 7)), shape_restitution=jnp.zeros((B, 7)))
-    tau = jnp.asarray(rng.uniform(-10, 10, (B, 12)), jnp.float32)
+        shape_friction=jnp.ones((B, ns)), shape_restitution=jnp.zeros((B, ns)))
+    tau = jnp.asarray(rng.uniform(-10, 10, (B, nd)), jnp.float32)
     ef = jnp.asarray(rng.uniform(-5, 5, (B, 3)), jnp.float32)
     et = jnp.asarray(rng.uniform(-1, 1, (B, 3)), jnp.float32)
 
@@ -69,4 +79,8 @@ def main(B=4096):
 
 
 if __name__ == "__main__":
-    raise SystemExit(0 if main() else 1)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--urdf", default=DEFAULT_URDF)
+    ap.add_argument("--batch", type=int, default=4096)
+    args = ap.parse_args()
+    raise SystemExit(0 if main(args.urdf, args.batch) else 1)
