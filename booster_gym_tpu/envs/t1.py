@@ -577,7 +577,19 @@ class T1:
             )
         gait_freq = jax.random.uniform(
             keys[3], (B,), minval=cc["gait_frequency"][0], maxval=cc["gait_frequency"][1])
-        still = jax.random.bernoulli(keys[4], cc["still_proportion"], (B,))
+        if cc.get("still_mode", "bernoulli") == "exact_fraction":
+            # reference-exact semantics (envs/t1.py:381): of the k envs
+            # resampling this step, exactly int(p*k) uniformly-random ones
+            # go still.  Rank the resampling envs by a random score and take
+            # the first floor(p*k).
+            score = jnp.where(mask, jax.random.uniform(keys[4], (B,)), jnp.inf)
+            rank = jnp.zeros(B, jnp.int32).at[jnp.argsort(score)].set(jnp.arange(B, dtype=jnp.int32))
+            k_still = jnp.floor(cc["still_proportion"] * mask.sum()).astype(jnp.int32)
+            still = mask & (rank < k_still)
+        else:
+            # per-env Bernoulli(p) — same expectation, order-free (documented
+            # divergence in the module docstring; A/B via tools/ab_divergence)
+            still = jax.random.bernoulli(keys[4], cc["still_proportion"], (B,))
         commands = jnp.where(still[:, None], 0.0, commands)
         gait_freq = jnp.where(still, 0.0, gait_freq)
 
@@ -600,8 +612,17 @@ class T1:
         H, W = self.curriculum_shape
         logits = jnp.log(jnp.maximum(state.curriculum_prob.reshape(-1), 1e-20))
         grid_idx = jax.random.categorical(keys[6], logits, shape=(B,))
-        lin_level = grid_idx // W - cc["lin_vel_levels"]
-        ang_level = grid_idx % W - cc["ang_vel_levels"]
+        if cc.get("curriculum_transpose_quirk", False):
+            # replicate the reference's axis swap (envs/t1.py:417-418): the
+            # update writes prob[lin, ang] but sampling reads lin from the
+            # COLUMN index — transposed.  Shape-consistent only for square
+            # grids; kept behind a flag for A/B (tools/ab_divergence).
+            assert H == W, "reference transpose quirk is square-grid-only"
+            lin_level = grid_idx % W - cc["lin_vel_levels"]
+            ang_level = grid_idx // W - cc["ang_vel_levels"]
+        else:
+            lin_level = grid_idx // W - cc["lin_vel_levels"]
+            ang_level = grid_idx % W - cc["ang_vel_levels"]
         jitter = jax.random.uniform(keys[7], (B, 3), minval=-1.0, maxval=1.0)
         commands = jnp.stack(
             [

@@ -157,3 +157,41 @@ def test_determinism():
     r2 = step(params, s2, a)
     np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
     np.testing.assert_array_equal(np.asarray(r1[2]), np.asarray(r2[2]))
+
+
+def test_still_exact_fraction_semantics():
+    """still_mode=exact_fraction zeroes exactly floor(p*k) of the k envs
+    that resample this step (reference envs/t1.py:381 semantics)."""
+    cfg = small_cfg(num_envs=32)
+    cfg["commands"]["still_mode"] = "exact_fraction"
+    cfg["commands"]["still_proportion"] = 0.25
+    env = make_task(cfg)
+    params = env.init_params(jax.random.PRNGKey(0))
+    state, obs, info = jax.jit(env.reset_all)(params, jax.random.PRNGKey(1))
+    # force 20 of 32 envs to hit their resample time this step
+    resampling = jnp.arange(32) < 20
+    state = state.replace(
+        cmd_resample_time=jnp.where(
+            resampling, state.episode_length, state.episode_length - 1))
+    for seed in range(3):
+        out = env._resample_commands(state, jax.random.PRNGKey(seed))
+        gf = np.asarray(out.gait_frequency)
+        stills = int((gf[:20] == 0.0).sum())
+        assert stills == int(0.25 * 20), stills
+        # non-resampling envs keep their previous gait frequency
+        np.testing.assert_array_equal(
+            gf[20:], np.asarray(state.gait_frequency)[20:])
+
+
+def test_curriculum_transpose_quirk_square_grid_only():
+    cfg = small_cfg(num_envs=4, curriculum=True)
+    cfg["commands"]["curriculum_transpose_quirk"] = True
+    cfg["commands"]["lin_vel_levels"] = 3
+    cfg["commands"]["ang_vel_levels"] = 2  # non-square -> must refuse
+    env = make_task(cfg)
+    params = env.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(AssertionError):
+        # the reset path already traces command resampling, so the
+        # square-grid guard fires here
+        state, obs, info = env.reset_all(params, jax.random.PRNGKey(1))
+        env._resample_commands(state, jax.random.PRNGKey(0))

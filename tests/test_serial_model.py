@@ -191,10 +191,17 @@ def test_serial_forward_dynamics_matches_mujoco(serial_model, seed):
         f"{udot[6:][bad]} vs {ref[bad]} (tol {tol[bad]})")
 
 
+@pytest.mark.slow
 def test_serial_task_trains_end_to_end():
     """The full framework on the 23-DoF tree: env construction (80 obs /
     23 actions from config), physics substeps, all 25 reward terms, and one
-    PPO train iteration — finite metrics and moving params."""
+    PPO train iteration — finite metrics and moving params.
+
+    slow-marked: XLA:CPU needs >25 min to compile the 24-body train
+    iteration (the 12-DoF equivalent is minutes; TPU compiles either in
+    ~30 s).  The on-chip serial validation path is
+    tools/validate_pallas_tpu.py --urdf .../T1_serial.urdf plus
+    `python train.py --task=T1Serial` on the TPU."""
     import jax
     import jax.numpy as jnp
 
