@@ -461,6 +461,22 @@ class T1:
         return sim, last_targets, torques, forces, feet_pos, feet_R, pt_xy
 
     # ------------------------------------------------------------------
+    def _sample_terrain(self, table, root_xy, queries):
+        """Terrain sampler call, shard_map'd under a mesh: pallas_call is
+        not auto-partitionable, so like the physics inner loop each device
+        runs the sampler on its own env shard (the shift table replicates;
+        queries are per-env, no collectives needed)."""
+        if self.mesh is None:
+            return self.terrain_sampler(table, root_xy, queries)
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            self.terrain_sampler, mesh=self.mesh,
+            in_specs=(P(), P(self.axis_name), P(self.axis_name)),
+            out_specs=P(self.axis_name), check_vma=False)
+        return fn(table, root_xy, queries)
+
+    # ------------------------------------------------------------------
     def _refresh_point_terrain(self, state):
         """Initialize the carried per-point terrain heights/normals from the
         current pose (reset_all only; during stepping they ride one substep
@@ -700,7 +716,7 @@ class T1:
                 state.sim.root_pos[:, None, :2],
                 edge_w[..., :2].reshape(B, nf * ne, 2),
             ], axis=1)
-            h_all, n_all = self.terrain_sampler(
+            h_all, n_all = self._sample_terrain(
                 params.terrain_table, state.sim.root_pos[:, :2], queries)
             pt_h, pt_n = h_all[:, :npt], n_all[:, :npt]
             root_h = h_all[:, npt]

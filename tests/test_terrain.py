@@ -105,3 +105,36 @@ def test_sampler_kernel_matches_direct(terrain):
     h_ref, n_ref = terrain.heights_and_normals(pts)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref), atol=2e-5)
+
+
+def test_sampler_kernel_under_shard_map(terrain):
+    """The sampler shard_maps over an 8-device ("dp",) mesh exactly the way
+    envs/t1.py._sample_terrain wires it for multi-chip rough terrain: table
+    replicated, per-env queries sharded, results equal to the direct path."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from booster_gym_tpu.parallel import make_mesh
+    from booster_gym_tpu.terrain.sample_kernel import (
+        build_shift_table,
+        make_terrain_sampler,
+    )
+    from booster_gym_tpu.utils.compile import jit_nofusion
+
+    table = build_shift_table(terrain.height_field)
+    B, N = 256, 9
+    rng = np.random.default_rng(5)
+    root = jnp.asarray(rng.uniform(5, 55, (B, 2)), jnp.float32)
+    pts = root[:, None, :] + jnp.asarray(
+        rng.uniform(-0.55, 0.55, (B, N, 2)), jnp.float32)
+
+    mesh = make_mesh(8)
+    sampler = make_terrain_sampler(terrain, N, interpret=True)
+    sharded = jit_nofusion(jax.shard_map(
+        sampler, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
+        out_specs=P("dp"), check_vma=False))
+    h, n = sharded(table, root, pts)
+    assert len(h.sharding.device_set) == 8
+    h_ref, n_ref = terrain.heights_and_normals(pts)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref), atol=2e-5)
