@@ -27,16 +27,27 @@ if "MUJOCO_GL" not in os.environ and not os.environ.get("DISPLAY"):
 
 
 def _gl_available():
-    """One offscreen-render probe.  Never iterate backends here: mujoco
-    binds its GL module on first use, and a failed glfw/X11 bind aborts
-    the interpreter via libc++ rather than raising."""
-    try:
-        import mujoco
+    """One offscreen-render probe, in a SUBPROCESS.
 
-        m = mujoco.MjModel.from_xml_string("<mujoco><worldbody/></mujoco>")
-        r = mujoco.Renderer(m, 32, 32)
-        r.close()
-        return True
+    Two reasons it must not run in the caller's process: (1) mujoco binds
+    its GL module on first use, and a failed glfw/X11 bind aborts the
+    interpreter via libc++ rather than raising; (2) a live Mesa EGL
+    (llvmpipe) context and TensorFlow's bundled LLVM crash the process when
+    both are loaded — observed as flaky SIGSEGV/SIGABRT in pytest runs that
+    mixed this probe with TensorBoard imports."""
+    import subprocess
+    import sys
+
+    code = (
+        "import mujoco\n"
+        "m = mujoco.MjModel.from_xml_string('<mujoco><worldbody/></mujoco>')\n"
+        "r = mujoco.Renderer(m, 32, 32)\n"
+        "r.close()\n"
+        "print('GL_PROBE_OK')\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=120)
+        return out.returncode == 0 and b"GL_PROBE_OK" in out.stdout
     except Exception:
         return False
 
