@@ -40,7 +40,13 @@ def load_library(rebuild=False):
     if rebuild or not os.path.exists(_SO) or (
             os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         _build()
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # a stale artifact from another machine/arch/toolchain: rebuild once
+        # (the .so is a local build product, never shipped in the repo)
+        _build()
+        lib = ctypes.CDLL(_SO)
     lib.publisher_create.restype = ctypes.c_void_p
     lib.publisher_create.argtypes = [
         ctypes.c_int, ctypes.c_double,

@@ -100,6 +100,13 @@ class Runner:
             except Exception as e:  # pragma: no cover
                 print(f"Failed to load lr/iteration: {e}")
             try:
+                # RNG stream resumes where it left off (SURVEY §5.4 lists
+                # RNG as unsaved in the reference; older checkpoints lack it)
+                if "key" in saved:
+                    ts = ts.replace(key=jnp.asarray(saved["key"], jnp.uint32))
+            except Exception as e:  # pragma: no cover
+                print(f"Failed to load rng key: {e}")
+            try:
                 ts = ts.replace(env_state=ts.env_state.replace(
                     curriculum_prob=jnp.asarray(saved["curriculum"])))
             except Exception as e:  # pragma: no cover
@@ -113,6 +120,7 @@ class Runner:
             "lr": ts.lr,
             "iteration": ts.iteration,
             "curriculum": ts.env_state.curriculum_prob,
+            "key": ts.key,
         }
 
     # ------------------------------------------------------------------

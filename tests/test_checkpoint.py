@@ -44,6 +44,8 @@ def test_train_save_resume_roundtrip(tmp_path, monkeypatch):
     a = jax.tree.leaves(ts.params)[0]
     b = jax.tree.leaves(ts2.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the RNG stream resumes exactly where training left off
+    np.testing.assert_array_equal(np.asarray(ts.key), np.asarray(ts2.key))
     ts3 = runner2.train()  # runs iteration 2 -> 3
     assert int(ts3.iteration) == 3
 
