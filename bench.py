@@ -151,6 +151,7 @@ def run_bench():
 
         mesh = make_mesh()
         env.set_mesh(mesh)
+        ppo.set_mesh(mesh)
         env_params = shard_batch_pytree(mesh, env_params, num_envs)
         ts = shard_batch_pytree(mesh, ts, num_envs)
         print(f"data-parallel over {n_dev} devices", file=sys.stderr)

@@ -37,6 +37,7 @@ class Runner:
         self.mesh = self._build_mesh()
         if self.mesh is not None:
             self.env.set_mesh(self.mesh)
+            self.ppo.set_mesh(self.mesh)
         self._train_iteration = jax.jit(self.ppo.train_iteration, donate_argnums=(1,))
         self._step = jax.jit(self.env.step)
         self._act = jax.jit(self.ppo.act)

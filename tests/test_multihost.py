@@ -46,6 +46,7 @@ ppo = PPO(env, cfg)
 env_params, ts = ppo.init(jax.random.PRNGKey(0))
 n_global = len(jax.devices())
 mesh = make_mesh(n_global)
+ppo.set_mesh(mesh)  # fused update kernels run under shard_map
 env_params = shard_batch_pytree(mesh, env_params, 16)
 ts = shard_batch_pytree(mesh, ts, 16)
 compiled = jax.jit(ppo.train_iteration).lower(env_params, ts).compile()

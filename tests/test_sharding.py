@@ -25,6 +25,7 @@ def sharded_trainer():
     ppo = PPO(env, cfg)
     env_params, ts = ppo.init(jax.random.PRNGKey(0))
     mesh = make_mesh(8)
+    ppo.set_mesh(mesh)  # fused update kernels need shard_map under a mesh
     env_params = shard_batch_pytree(mesh, env_params, 16)
     ts = shard_batch_pytree(mesh, ts, 16)
     return ppo, env_params, ts, mesh
@@ -60,8 +61,9 @@ def test_sharded_matches_single_device(sharded_trainer):
     step = jax.jit(ppo.train_iteration)
     _, m_sharded = step(env_params, ts)
 
-    env_params1, ts1 = ppo.init(jax.random.PRNGKey(0))
-    _, m_single = jax.jit(ppo.train_iteration)(env_params1, ts1)
+    ppo1 = PPO(ppo.env, ppo.cfg)  # no mesh: plain single-device kernels
+    env_params1, ts1 = ppo1.init(jax.random.PRNGKey(0))
+    _, m_single = jax.jit(ppo1.train_iteration)(env_params1, ts1)
     np.testing.assert_allclose(
         float(m_sharded["reward"]), float(m_single["reward"]), rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(
