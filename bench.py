@@ -206,13 +206,40 @@ def main():
     except (ValueError, OSError) as e:  # platform quirk
         print(f"no signal handlers: {e}", file=sys.stderr)
 
+    # The remote-compile tunnel can drop MID-RUN with a transient
+    # JaxRuntimeError (observed: "remote_compile: read body: response body
+    # closed before all bytes were read" during the warmup loop, AFTER the
+    # big compile succeeded).  Retry the whole bench on transient-looking
+    # failures — the persistent compilation cache makes retries warm.
+    TRANSIENT = ("remote_compile", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                 "read body", "connection", "INTERNAL")
+
     def worker():
-        try:
-            run_bench()
-        except BaseException as e:  # noqa: BLE001 - the JSON line must win
-            import traceback
-            traceback.print_exc(file=sys.stderr)
-            emit(None, {"error": f"{type(e).__name__}: {e}"})
+        for attempt in range(3):
+            try:
+                run_bench()
+                return
+            except BaseException as e:  # noqa: BLE001 - the JSON line must win
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                msg = f"{type(e).__name__}: {e}"
+                if _emitted:
+                    return
+                transient = any(t in msg for t in TRANSIENT)
+                if attempt < 2 and transient:
+                    print(f"transient failure, retrying bench "
+                          f"(attempt {attempt + 2}/3): {msg}",
+                          file=sys.stderr)
+                    try:
+                        import jax.extend.backend as jeb
+                        jeb.clear_backends()
+                    except Exception as ce:  # noqa: BLE001
+                        print(f"clear_backends failed: {ce}",
+                              file=sys.stderr)
+                    time.sleep(10.0 * (attempt + 1))
+                    continue
+                emit(None, {"error": msg})
+                return
 
     th = threading.Thread(target=worker, daemon=True)
     th.start()
