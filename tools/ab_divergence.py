@@ -16,7 +16,11 @@ Usage: python tools/ab_divergence.py [--iters 1000] [--num_envs 4096]
 import argparse
 import copy
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
