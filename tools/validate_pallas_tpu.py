@@ -12,6 +12,11 @@ Run: python tools/validate_pallas_tpu.py [--urdf PATH] [--batch N]
 import argparse
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,12 @@ Usage: python tools/view.py --task=T1 [--checkpoint=-1 | --policy_pt=...]
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
