@@ -91,6 +91,11 @@ class PPO:
         # tile sweep on v5e at 4096 envs x 24 horizon: 1024 -> 36 ms,
         # 2048 -> 33.2 ms, 4096 -> 32.5 ms, 8192 -> VMEM OOM
         self.update_tile = acfg.get("update_tile", 4096)
+        # unroll factor of the mini-epoch scan: >1 lets XLA overlap the
+        # small inter-epoch carry copies (logstd/bias SMEM staging) across
+        # epochs; semantics identical (the params dependency chain is
+        # preserved, only loop structure changes)
+        self.update_scan_unroll = acfg.get("update_scan_unroll", 1)
         self.mesh = None
         self.axis_name = "dp"
         self.network = ActorCritic(
@@ -285,7 +290,8 @@ class PPO:
 
         body = epoch_fused if self.update_backend == "fused" else epoch
         (params, opt_state, lr), stats = jax.lax.scan(
-            body, (ts.params, ts.opt_state, ts.lr), None, length=self.mini_epochs)
+            body, (ts.params, ts.opt_state, ts.lr), None,
+            length=self.mini_epochs, unroll=self.update_scan_unroll)
         value_loss, actor_loss, bound_loss, entropy, kl_mean = stats
 
         levels = env_state.env_curriculum_level
