@@ -156,9 +156,10 @@ class PPO:
             params, obs, privileged_obs, method=ActorCritic.est_value)
 
     # -- one training iteration -----------------------------------------
-    def train_iteration(self, env_params, ts):
-        """(env_params, TrainState) -> (TrainState, metrics dict of scalars)."""
-        # ---- rollout (utils/runner.py:106-121)
+    def rollout(self, env_params, ts):
+        """Horizon scan + on-device episode statistics
+        (utils/runner.py:106-121).  Returns (carry, buffers); exposed
+        separately from update() so bench.py can attribute per-phase time."""
         def rollout_step(carry, _):
             env_state, obs, priv, key, ep_sums, ep_steps, fin_sums, fin_cnt, fin_steps = carry
             key, k_act = jax.random.split(key)
@@ -185,7 +186,12 @@ class PPO:
         fin_sums0 = {k: jnp.zeros(()) for k in ts.episode_sums}
         carry0 = (ts.env_state, ts.obs, ts.privileged_obs, ts.key, ts.episode_sums,
                   ts.episode_steps, fin_sums0, jnp.zeros(()), jnp.zeros(()))
-        carry, buf = jax.lax.scan(rollout_step, carry0, None, length=self.horizon)
+        return jax.lax.scan(rollout_step, carry0, None, length=self.horizon)
+
+    def update(self, ts, carry, buf):
+        """The 20 full-batch mini-epochs on a rollout's buffers
+        (utils/runner.py:131-185).  Returns ((params, opt_state, lr),
+        per-epoch stat arrays)."""
         (env_state, obs_last, priv_last, key, ep_sums, ep_steps,
          fin_sums, fin_cnt, fin_steps) = carry
         (obs_buf, priv_buf, act_buf, mu_buf, std_buf, rew_buf, done_buf, timeout_buf) = buf
@@ -193,42 +199,61 @@ class PPO:
         old_logp = normal_log_prob(mu_buf, std_buf, act_buf)
 
         # ---- update (utils/runner.py:131-185)
+        # iteration-invariant update inputs, built ONCE outside the
+        # mini-epoch scan: {0,1} floats for the GAE kernel's exact
+        # where()-equivalent selects, and the batch-on-lanes transposes
+        # of the rollout buffers for the gradient kernel
+        T, B = rew_buf.shape
+        N = T * B
+        nonterm = 1.0 - (done_buf | timeout_buf).astype(jnp.float32)
+        timeout_f = timeout_buf.astype(jnp.float32)
+        fused_once = (self._fused_update()
+                      if self.update_backend == "fused" else None)
+        prep = (fused_once.prepare(obs_buf, priv_buf, act_buf, mu_buf,
+                                   old_logp)
+                if fused_once is not None else None)
+
         def epoch_fused(carry, _):
-            """Mini-epoch through the fused Pallas kernels: the value pass
-            and the loss-gradient pass each stream the batch through VMEM
-            once (update_kernel.py); GAE, advantage normalization, metric
-            formulas, Adam, and the KL-adaptive LR stay in XLA — identical
-            code to the `epoch` branch below."""
+            """Mini-epoch through the fused Pallas kernels (round 4 layout):
+            one kernel walks the horizon in reverse computing critic values
+            + timeout bootstrap + GAE + advantage sums; the gradient kernel
+            normalizes advantages in-kernel and accumulates the reference
+            metric sums (update_kernel.py) — per-epoch XLA work shrinks to
+            Adam, the KL-adaptive LR, and a handful of scalars.  Numerics
+            identical to the `epoch` branch below (tests compare them)."""
             params, opt_state, lr = carry
-            fused = self._fused_update()
-            values = fused.values(params, obs_buf, priv_buf)
+            fused = fused_once
             last_values = self.est_value(params, obs_last, priv_last)
-            rwd = jnp.where(timeout_buf, values, rew_buf)
-            adv = discount_values(
-                rwd, done_buf | timeout_buf, values, last_values,
-                self.gamma, self.lam)
-            returns = values + adv
-            adv = (adv - adv.mean()) / (jnp.std(adv, ddof=1) + 1e-8)
-            grads, mu, values2 = fused.grads(
-                params, obs_buf, priv_buf, act_buf, adv, returns, old_logp)
+            adv_raw, returns, s_a, s_a2 = fused.gae(
+                params, obs_buf, priv_buf, rew_buf, nonterm, timeout_f,
+                last_values, self.gamma, self.lam)
+            # Bessel-corrected normalization stats (torch .std()); the
+            # normalize itself happens inside the gradient kernel
+            mean = s_a / N
+            var = (s_a2 - N * mean * mean) / (N - 1)
+            rstd = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
+            grads, st = fused.grads_stats_prepared(
+                params, prep, adv_raw, returns, mean, rstd)
             # the entropy bonus depends only on logstd — closed form
             grads["params"]["logstd"] = (
                 grads["params"]["logstd"] + self.entropy_coef)
 
-            # metrics: exact reference formulas on the kernel's mu/values
-            std = jnp.broadcast_to(
-                jnp.exp(params["params"]["logstd"]), mu.shape)
-            value_loss = jnp.mean(jnp.square(values2 - returns))
-            logp = normal_log_prob(mu, std, act_buf)
-            ratio = jnp.exp(logp - old_logp)
-            surr = -adv * ratio
-            surr_clipped = -adv * jnp.clip(
-                ratio, 1.0 - self.clip_ratio, 1.0 + self.clip_ratio)
-            actor_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
-            bound_loss = (
-                jnp.mean(jnp.square(jnp.clip(mu - 1.0, min=0.0)))
-                + jnp.mean(jnp.square(jnp.clip(mu + 1.0, max=0.0))))
-            entropy = jnp.mean(normal_entropy(std))
+            # finish the reference metric formulas from the kernel sums
+            logstd = params["params"]["logstd"]
+            std = jnp.exp(logstd)                       # [1, num_act]
+            na = std.shape[1]
+            value_loss = st["vl"] / N
+            actor_loss = st["al"] / N
+            bound_loss = st["bhi"] / (N * na) + st["blo"] / (N * na)
+            entropy = jnp.sum(0.5 + 0.5 * jnp.log(2.0 * jnp.pi) + logstd)
+            # analytic KL vs the rollout policy (utils/runner.py:168-173):
+            # per-dim constants + the kernel's sum of (mu_new - mu_old)^2
+            std_old = std_buf[0, 0]                     # state-independent
+            kl_const = jnp.sum(
+                jnp.log(std[0] / std_old)
+                + 0.5 * jnp.square(std_old) / jnp.square(std[0]) - 0.5)
+            kl_mean = kl_const + 0.5 * jnp.sum(
+                st["klsq"] / (N * jnp.square(std[0])))
 
             inject = opt_state[1]._replace(
                 hyperparams={**opt_state[1].hyperparams, "learning_rate": lr})
@@ -236,7 +261,6 @@ class PPO:
                 grads, (opt_state[0], inject), params)
             params2 = optax.apply_updates(params, updates)
 
-            kl_mean = jnp.mean(normal_kl(mu_buf, std_buf, mu, std))
             lr2 = jnp.where(
                 kl_mean > self.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5),
                 jnp.where(kl_mean < self.desired_kl / 2.0,
@@ -289,9 +313,31 @@ class PPO:
                 value_loss, actor_loss, bound_loss, entropy, kl_mean)
 
         body = epoch_fused if self.update_backend == "fused" else epoch
-        (params, opt_state, lr), stats = jax.lax.scan(
+        return jax.lax.scan(
             body, (ts.params, ts.opt_state, ts.lr), None,
             length=self.mini_epochs, unroll=self.update_scan_unroll)
+
+    def train_iterations(self, env_params, ts, n):
+        """n train iterations in ONE device program (lax.scan over
+        train_iteration; `n` static).  Measured on v5e at 4096 envs:
+        SLOWER than per-iteration dispatch (48.1 vs 46.8 ms/iter — the
+        scan carry copies the un-donatable TrainState between iterations,
+        costing more than the ~1.3 ms host-dispatch gap it saves), so the
+        runner and bench dispatch per iteration; kept for the measurement
+        tools and for future multi-host use where dispatch gaps grow.
+        Metrics come back stacked [n]."""
+        def body(ts, _):
+            return self.train_iteration(env_params, ts)
+
+        return jax.lax.scan(body, ts, None, length=n)
+
+    def train_iteration(self, env_params, ts):
+        """(env_params, TrainState) -> (TrainState, metrics dict of
+        scalars) — rollout + update (reference loop utils/runner.py:99-215)."""
+        carry, buf = self.rollout(env_params, ts)
+        (env_state, obs_last, priv_last, key, ep_sums, ep_steps,
+         fin_sums, fin_cnt, fin_steps) = carry
+        (params, opt_state, lr), stats = self.update(ts, carry, buf)
         value_loss, actor_loss, bound_loss, entropy, kl_mean = stats
 
         levels = env_state.env_curriculum_level

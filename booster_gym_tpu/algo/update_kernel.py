@@ -11,16 +11,25 @@ kernel body, and the (tiny, ~0.7 MB) weight gradients accumulate in VMEM
 across the grid.  HBM traffic per epoch drops to one read of the rollout
 buffers (~25 MB) — the update becomes MXU-bound.
 
-Two kernels:
-  * `values`: critic forward only — GAE needs all values before advantages
-    exist, so the value pass cannot fuse with the gradient pass;
-  * `grads`:  actor+critic forward (recomputed — remat is free here, the
-    FLOPs are cheap relative to the saved traffic), per-sample dL/dmu and
-    dL/dvalue for the clipped-surrogate + value + bound losses (reference
-    loss layout: utils/runner.py:131-164), backward through both MLPs.
-    `mu` and `values` are also written out so ppo.py computes every metric
-    (value/actor/bound loss, KL) with the exact reference formulas in XLA —
-    the kernel hand-derives only gradients, never statistics.
+The hot path (round 4) is TWO kernels per mini-epoch, both batch-on-lanes
+(activations [features, batch] so per-sample scalars are [1, batch] and use
+every VPU lane; the row-major orientation wasted ~320 us/epoch on 1-of-128-
+lane ops):
+  * `gae`: one reverse walk over the horizon — grid step = time step —
+    computing critic values, the timeout bootstrap, the GAE recurrence
+    (carried in VMEM scratch), returns, and masked advantage sums for the
+    Bessel normalization (reference: utils/utils.py:33-44,
+    utils/runner.py:135);
+  * `grads_stats`: actor+critic forward (recomputed — remat is free, the
+    FLOPs are cheap relative to the saved activation traffic), in-kernel
+    advantage normalization, per-sample dL/dmu and dL/dvalue for the
+    clipped-surrogate + value + bound losses (reference loss layout:
+    utils/runner.py:131-164), backward through both MLPs, plus f32
+    accumulators for the reference metric sums (value/actor/bound losses
+    and the KL quadratic term) — ppo.py finishes the exact reference
+    formulas from the sums.
+The row-major `values`/`grads` kernels are kept as the interpret-mode
+exactness anchors (tests compare the two orientations and jax.grad).
 
 Gradient semantics matched to jax.grad of the XLA path:
   * jnp.maximum(surr, surr_clipped): 0.5/0.5 split at exact ties (the
@@ -205,6 +214,229 @@ def _fixed_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
+def _gae_kernel(obsc_ref, rew_ref, nonterm_ref, timeout_ref, lastv_ref,
+                *wrefs_and_out, n_layers, T, Bp, n_valid_b, gamma, lam, dt,
+                interp):
+    """One grid step = one TIME step, walked in reverse (t = T-1 first):
+    critic forward for values_t, timeout bootstrap, and the GAE recurrence
+    ride along in VMEM carries — values never touch HBM and the reverse
+    scan costs a handful of VPU ops per step (reference recurrence:
+    utils/utils.py:33-44; timeout bootstrap utils/runner.py:135).
+
+    The critic runs TRANSPOSED (batch on the lane axis): observations
+    arrive as [dim, Bp] planes and every layer computes W_T @ x with
+    [out, in] weights, so values are born [1, Bp] — the same orientation
+    as the GAE planes.  The row-major variant paid a [Bp,1]->[1,Bp]
+    relayout per step (~25 us x T on v5e) just to meet the recurrence.
+
+    Outputs: raw advantages [T,1,Bp], returns [T,1,Bp], and the masked
+    sums (sum_adv, sum_adv^2) as (1, 1) refs for the caller's Bessel
+    normalization (the normalize itself happens inside the grads kernel)."""
+    Ws = wrefs_and_out[0:n_layers]           # transposed: [out, in]
+    bs = wrefs_and_out[n_layers:2 * n_layers]  # [out, 1]
+    adv_ref, ret_ref, sa_ref, sa2_ref = (
+        wrefs_and_out[2 * n_layers:2 * n_layers + 4])
+    nextv_ref, carry_ref = wrefs_and_out[2 * n_layers + 4:]
+
+    i = pl.program_id(0)
+    first = i == 0            # t = T-1 (reversed index maps)
+
+    x = obsc_ref[0].astype(dt)               # [dim, Bp]
+    for li in range(n_layers):
+        z = _dot_T(Ws[li][...], x, ((1,), (0,)), dt,
+                   interp).astype(dt) + bs[li][...]
+        x = _elu(z) if li < n_layers - 1 else z
+    values = x.astype(jnp.float32)            # [1, Bp]
+
+    @pl.when(first)
+    def _init():
+        nextv_ref[...] = lastv_ref[...]
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+        sa_ref[...] = jnp.zeros_like(sa_ref)
+        sa2_ref[...] = jnp.zeros_like(sa2_ref)
+
+    # the [T, B] per-step planes arrive as [T, 1, B] so Mosaic's block
+    # constraint (trailing dims divisible by (8, 128) or whole) is met;
+    # ref[0] yields the (1, Bp) plane
+    t_f = timeout_ref[0]                                  # {0,1} f32
+    rwd = t_f * values + (1.0 - t_f) * rew_ref[0]
+    nt = nonterm_ref[0]
+    delta = rwd + gamma * nt * nextv_ref[...] - values
+    adv = delta + gamma * lam * nt * carry_ref[...]
+    carry_ref[...] = adv
+    nextv_ref[...] = values
+    adv_ref[0] = adv
+    ret_ref[0] = values + adv
+
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
+            < n_valid_b).astype(jnp.float32)
+    am = adv * mask
+    sa_ref[...] += jnp.sum(am).reshape(1, 1)
+    sa2_ref[...] += jnp.sum(am * adv).reshape(1, 1)
+
+
+def _dot_T(a, b, dims, dt, interp):
+    """dot_general in the kernel compute dtype; in interpret mode (CPU
+    validation) bf16 operands upcast to f32 first — XLA:CPU's DotThunk
+    has no BF16xBF16=F32 kernel for these transposed shapes.  The result
+    still rounds back to bf16, so interpret-mode numerics stay within the
+    bf16 test tolerances."""
+    if interp and dt == jnp.bfloat16:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+        precision=_precision(dt))
+
+
+def _mlp_fwd_T(x, WTs, bs, dt, interp=False):
+    """Transposed Dense+ELU stack: x [in, n], weights [out, in], biases
+    [out, 1] -> activations [out, n].  Same math as _mlp_fwd with the
+    batch on the LANE axis."""
+    xs, zs = [x], []
+    for i, (WT, b) in enumerate(zip(WTs, bs)):
+        z = _dot_T(WT[...], x, ((1,), (0,)), dt, interp).astype(dt) + b[...]
+        zs.append(z)
+        if i < len(WTs) - 1:
+            x = _elu(z)
+            xs.append(x)
+    return xs, zs
+
+
+def _mlp_bwd_T(xs, zs, Ws, dz_last, dW_refs, db_refs, first, interp=False):
+    """Transposed backward: activations/deltas are [dim, n]; Ws are the
+    ORIGINAL [in, out] weights (for the input-gradient products); weight
+    gradients come out [in, out] directly (contraction over the lane
+    axis), so no transposes are needed anywhere.
+
+    The dW dots contract BOTH operands on the lane axis — Mosaic's bf16
+    lowering of that shape trips a verifier bug ('vector.broadcast' bf16 ->
+    f32), so in bf16 mode the operands are cast to f32 and the dot runs at
+    DEFAULT precision: on TPU that is a single bf16 MXU pass with f32
+    accumulation, bit-identical to the bf16 dot (the values are already
+    bf16-rounded; the casts are exact and cost ~3 us/grid-step of VPU)."""
+    dz = dz_last                                   # [out, n]
+    bf16 = dz_last.dtype == jnp.bfloat16
+    dw_prec = (jax.lax.Precision.DEFAULT if bf16
+               else jax.lax.Precision.HIGHEST)
+    for i in range(len(Ws) - 1, -1, -1):
+        dW = jax.lax.dot_general(
+            xs[i].astype(jnp.float32), dz.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dw_prec)
+        db = jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True)
+
+        @pl.when(first)
+        def _init():
+            dW_refs[i][...] = jnp.zeros_like(dW_refs[i])
+            db_refs[i][...] = jnp.zeros_like(db_refs[i])
+
+        dW_refs[i][...] += dW
+        db_refs[i][...] += db
+        if i > 0:
+            dh = _dot_T(Ws[i][...], dz, ((1,), (0,)), dz.dtype,
+                        interp).astype(dz.dtype)
+            dz = dh * _elu_grad(zs[i - 1])
+
+
+def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
+                        act_ref, logstd_ref, *refs,
+                        nA, nC, tile, n_valid, n_total, clip_ratio,
+                        bound_coef, dt, interp):
+    """The batch-on-lanes gradient+metric kernel.
+
+    Everything here is TRANSPOSED relative to _grads_kernel: observations
+    stream as [dim, tile] column blocks, activations are [features, tile],
+    and per-sample scalars are [1, tile].  In the row-major orientation the
+    per-sample loss chain ([tile, 1] shapes) used 1 of 128 lanes and the
+    [tile, num_act] terms 12 of 128 — ~320 us/epoch of VPU time at 4096
+    envs; lane-major the same math is dense (~25 us).  The advantage
+    normalization happens in-kernel ((adv_raw - mean) * rstd, norm_ref
+    [1, 2]) and the reference metric sums accumulate in f32 refs, finished
+    by the exact reference formulas in the caller (utils/runner.py:131-164
+    losses and statistics).
+
+    Ref layout: per-layer weights arrive twice — transposed [out, in] for
+    the forward dots and original [in, out] for the backward input-gradient
+    dots (0.4 MB of VMEM buys zero in-kernel transposes)."""
+    aWT = refs[0:nA]
+    ab = refs[nA:2 * nA]
+    aW = refs[2 * nA:3 * nA]
+    cWT = refs[3 * nA:3 * nA + nC]
+    cb = refs[3 * nA + nC:3 * nA + 2 * nC]
+    cW = refs[3 * nA + 2 * nC:3 * nA + 3 * nC]
+    out = refs[3 * nA + 3 * nC:]
+    daW = out[0:nA]
+    dab = out[nA:2 * nA]
+    dcW = out[2 * nA:2 * nA + nC]
+    dcb = out[2 * nA + nC:2 * nA + 2 * nC]
+    (dlogstd_ref, vl_ref, al_ref, bhi_ref, blo_ref,
+     klsq_ref) = out[2 * nA + 2 * nC:]
+
+    i = pl.program_id(0)
+    first = i == 0
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + i * tile
+    mask = (col < n_valid).astype(jnp.float32)          # [1, tile]
+
+    xa, za = _mlp_fwd_T(obs_ref[...].astype(dt), aWT, ab, dt, interp)
+    mu = za[-1].astype(jnp.float32)                     # [num_act, tile]
+    xc, zc = _mlp_fwd_T(obsc_ref[...].astype(dt), cWT, cb, dt, interp)
+    val = zc[-1].astype(jnp.float32)                    # [1, tile]
+
+    adv = (scal_ref[0:1, :] - norm_ref[0, 0]) * norm_ref[0, 1]
+    ret = scal_ref[1:2, :]
+    old_logp = scal_ref[2:3, :]
+    act = act_ref[...]                                  # [num_act, tile]
+    logstd = logstd_ref[...]                            # [num_act, 1]
+    var = jnp.exp(2.0 * logstd)
+
+    diff = act - mu
+    lp = -0.5 * diff * diff / var - logstd - 0.5 * _LOG2PI
+    logp = jnp.sum(lp, axis=0, keepdims=True)           # [1, tile]
+    ratio = jnp.exp(logp - old_logp)
+    lo, hi = 1.0 - clip_ratio, 1.0 + clip_ratio
+    ratio_c = jnp.clip(ratio, lo, hi)
+    surr = -adv * ratio
+    surr_c = -adv * ratio_c
+    gs = jnp.where(surr > surr_c, 1.0, jnp.where(surr < surr_c, 0.0, 0.5))
+    cg = (jnp.where(ratio > lo, 1.0, jnp.where(ratio == lo, 0.5, 0.0))
+          * jnp.where(ratio < hi, 1.0, jnp.where(ratio == hi, 0.5, 0.0)))
+    dratio = (gs + (1.0 - gs) * cg) * (-adv) * (mask / n_total)
+    dlogp = dratio * ratio                              # [1, tile]
+    dmu = dlogp * diff / var                            # [num_act, tile]
+    dlogstd_rows = dlogp * (diff * diff / var - 1.0)
+    b_hi = jnp.maximum(mu - 1.0, 0.0)
+    b_lo = jnp.minimum(mu + 1.0, 0.0)
+    dmu += ((2.0 * b_hi + 2.0 * b_lo)
+            * (bound_coef / (n_total * mu.shape[0])) * mask)
+    dval = 2.0 * (val - ret) * (mask / n_total)         # [1, tile]
+
+    @pl.when(first)
+    def _init():
+        dlogstd_ref[...] = jnp.zeros_like(dlogstd_ref)
+        for r in (vl_ref, al_ref, bhi_ref, blo_ref, klsq_ref):
+            r[...] = jnp.zeros_like(r)
+
+    dlogstd_ref[...] += jnp.sum(dlogstd_rows, axis=1, keepdims=True)
+
+    # metric sums (reference loss statistics, utils/runner.py:146-162):
+    # value loss, clipped-surrogate actor loss, both bound-loss halves,
+    # and the per-dim (mu_new - mu_old)^2 sums of the analytic KL
+    vl_ref[...] += jnp.sum(jnp.square(val - ret) * mask).reshape(1, 1)
+    al_ref[...] += jnp.sum(jnp.maximum(surr, surr_c) * mask).reshape(1, 1)
+    bhi_ref[...] += jnp.sum(jnp.square(b_hi) * mask).reshape(1, 1)
+    blo_ref[...] += jnp.sum(jnp.square(b_lo) * mask).reshape(1, 1)
+    dmu_old = mu - muold_ref[...]
+    klsq_ref[...] += jnp.sum(jnp.square(dmu_old) * mask, axis=1,
+                             keepdims=True)
+
+    _mlp_bwd_T(xa, za, aW, dmu.astype(dt), daW, dab, first, interp)
+    _mlp_bwd_T(xc, zc, cW, dval.astype(dt), dcW, dcb, first, interp)
+
+
 class FusedUpdate:
     """Builds and calls the two kernels for a given ActorCritic geometry.
 
@@ -285,6 +517,252 @@ class FusedUpdate:
                 vmem_limit_bytes=96 * 1024 * 1024),
         )(obsc, *cW, *cb)
         return val[:n, 0].reshape(lead)
+
+    # -- fused values + GAE + advantage-stat pass ----------------------------
+    def gae(self, params, obs, priv, rew, nonterm, timeout_f, last_values,
+            gamma, lam, n_total=None):
+        """Critic values + timeout bootstrap + GAE recurrence + masked
+        advantage sums, one kernel (one reverse walk over the horizon).
+        rew/nonterm/timeout_f are [T, B] f32 (nonterm = 1 - (done|timeout),
+        timeout_f in {0,1}); last_values [B].  Returns (adv_raw [T, B],
+        returns [T, B], sum_adv, sum_adv2) — sums psum'd under a mesh, so
+        mean/std computed from them are the global batch statistics."""
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            b = P(None, self.axis_name)
+            fn = jax.shard_map(
+                functools.partial(self._gae_local, gamma=gamma, lam=lam,
+                                  n_total=n_total, psum=True),
+                mesh=self.mesh,
+                in_specs=(P(), b, b, b, b, b, P(self.axis_name)),
+                out_specs=(b, b, P(), P()), check_vma=False)
+            return fn(params, obs, priv, rew, nonterm, timeout_f,
+                      last_values)
+        return self._gae_local(params, obs, priv, rew, nonterm, timeout_f,
+                               last_values, gamma=gamma, lam=lam,
+                               n_total=n_total, psum=False)
+
+    def _gae_local(self, params, obs, priv, rew, nonterm, timeout_f,
+                   last_values, gamma, lam, n_total, psum):
+        T, B = rew.shape
+        # batch-on-lanes: [T, dim, B] observation planes and [out, in]
+        # weights keep every in-kernel array lane-major (see _gae_kernel)
+        obsc = jnp.concatenate(
+            [obs.reshape(T, B, self.num_obs),
+             priv.reshape(T, B, self.num_priv)],
+            axis=-1).astype(self.dt).transpose(0, 2, 1)
+        Bp = -(-B // 128) * 128
+        pad = Bp - B
+        if pad:
+            obsc = jnp.pad(obsc, ((0, 0), (0, 0), (0, pad)))
+            rew, nonterm, timeout_f = (
+                jnp.pad(x, ((0, 0), (0, pad)))
+                for x in (rew, nonterm, timeout_f))
+            last_values = jnp.pad(last_values, (0, pad))
+        cW, cb = self._layers(params, "critic")
+        cW = [w.T for w in cW]                 # [out, in]
+        cb = [b.reshape(-1, 1) for b in cb]    # [out, 1]
+        kern = functools.partial(
+            _gae_kernel, n_layers=len(cW), T=T, Bp=Bp, n_valid_b=B,
+            gamma=float(gamma), lam=float(lam), dt=self.dt,
+            interp=self.interpret)
+
+        rev3 = lambda i: (T - 1 - i, 0, 0)        # noqa: E731
+        # [T, B] planes ride as [T, 1, Bp]: Mosaic blocks must have their
+        # trailing two dims (8,128)-divisible or whole — (1, 1, Bp) is
+        row3 = pl.BlockSpec((1, 1, Bp), rev3, memory_space=pltpu.VMEM)
+        f32 = jnp.float32
+        adv, ret, sa, sa2 = pl.pallas_call(
+            kern,
+            grid=(T,),
+            in_specs=[pl.BlockSpec((1, obsc.shape[1], Bp), rev3,
+                                   memory_space=pltpu.VMEM),
+                      row3, row3, row3, _fixed_spec((1, Bp))]
+            + [_fixed_spec(w.shape) for w in cW]
+            + [_fixed_spec(b2.shape) for b2 in cb],
+            out_specs=(row3, row3, _fixed_spec((1, 1)), _fixed_spec((1, 1))),
+            out_shape=(jax.ShapeDtypeStruct((T, 1, Bp), f32),
+                       jax.ShapeDtypeStruct((T, 1, Bp), f32),
+                       jax.ShapeDtypeStruct((1, 1), f32),
+                       jax.ShapeDtypeStruct((1, 1), f32)),
+            scratch_shapes=[pltpu.VMEM((1, Bp), f32),
+                            pltpu.VMEM((1, Bp), f32)],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(obsc, rew.reshape(T, 1, Bp), nonterm.reshape(T, 1, Bp),
+          timeout_f.reshape(T, 1, Bp), last_values.reshape(1, Bp),
+          *cW, *cb)
+        adv = adv.reshape(T, Bp)
+        ret = ret.reshape(T, Bp)
+        if psum:
+            sa, sa2 = jax.lax.psum((sa, sa2), self.axis_name)
+        return adv[:, :B], ret[:, :B], sa[0, 0], sa2[0, 0]
+
+    # -- gradient + metric pass ----------------------------------------------
+    def prepare(self, obs, priv, act, mu_old, old_logp):
+        """Transpose the epoch-invariant update inputs to the kernel's
+        batch-on-lanes layout ONCE per iteration (they do not change across
+        the 20 mini-epochs; transposing [N, dim] -> [dim, N] per epoch
+        would cost ~150 us x 20).  Leaves keep their leading-batch axes
+        ([dim, *lead]) so GSPMD shardings on the env axis survive; the
+        local kernel wrapper flattens [dim, *lead] -> [dim, N] for free."""
+        obsc = jnp.concatenate([obs, priv], axis=-1)
+        return {
+            "obsT": jnp.moveaxis(obs.astype(self.dt), -1, 0),
+            "obscT": jnp.moveaxis(obsc.astype(self.dt), -1, 0),
+            "actT": jnp.moveaxis(act, -1, 0),
+            "muoldT": jnp.moveaxis(mu_old, -1, 0),
+            "old_logp": old_logp,
+        }
+
+    def grads_stats(self, params, obs, priv, act, adv_raw, returns,
+                    old_logp, mu_old, adv_mean, adv_rstd, n_total=None):
+        """grads() with the advantage normalization applied in-kernel
+        ((adv_raw - adv_mean) * adv_rstd) and the reference metric sums
+        accumulated in-kernel instead of recomputing them in XLA.  Returns
+        (grads, stats) where stats = dict(vl, al, bhi, blo, klsq[num_act])
+        are SUMS over the global batch (psum'd under a mesh); the caller
+        finishes the reference formulas (mean by n_total, KL constants)."""
+        prep = self.prepare(obs, priv, act, mu_old, old_logp)
+        return self.grads_stats_prepared(
+            params, prep, adv_raw, returns, adv_mean, adv_rstd,
+            n_total=n_total)
+
+    def grads_stats_prepared(self, params, prep, adv_raw, returns,
+                             adv_mean, adv_rstd, n_total=None):
+        """grads_stats on prepare()'d inputs (the hot path: ppo.py calls
+        prepare once per iteration, this 20x)."""
+        lead = prep["old_logp"].shape
+        n_rows = int(np.prod(lead))
+        if n_total is None:
+            n_total = n_rows
+        norm = jnp.stack([adv_mean, adv_rstd]).reshape(1, 2)
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            lspec = P(*([None] * (len(lead) - 1) + [self.axis_name]))
+            tspec = P(None, *([None] * (len(lead) - 1) + [self.axis_name]))
+            fn = jax.shard_map(
+                functools.partial(self._grads_stats_local, n_total=n_total,
+                                  psum=True),
+                mesh=self.mesh,
+                in_specs=(P(), {k: (lspec if k == "old_logp" else tspec)
+                                for k in prep},
+                          lspec, lspec, P()),
+                out_specs=(P(), P()), check_vma=False)
+            return fn(params, prep, adv_raw, returns, norm)
+        return self._grads_stats_local(
+            params, prep, adv_raw, returns, norm, n_total=n_total,
+            psum=False)
+
+    def _grads_stats_local(self, params, prep, adv, returns, norm,
+                           n_total, psum):
+        obsT = prep["obsT"].reshape(self.num_obs, -1)
+        obscT = prep["obscT"].reshape(self.num_obs + self.num_priv, -1)
+        actT = prep["actT"].reshape(self.num_act, -1)
+        muoldT = prep["muoldT"].reshape(self.num_act, -1)
+        # [4, N] stack: plain concatenation of contiguous vectors — unlike
+        # the row-major [N, 4] layout this needs no relayout copy
+        scal = jnp.stack([adv.reshape(-1), returns.reshape(-1),
+                          prep["old_logp"].reshape(-1),
+                          jnp.zeros(obsT.shape[1])], axis=0)
+        n = obsT.shape[1]
+        tile = min(self.tile, -(-n // 128) * 128)
+        grid = max(1, -(-n // tile))
+        pad = grid * tile - n
+        if pad:
+            obsT, obscT, actT, scal, muoldT = (
+                jnp.pad(x, ((0, 0), (0, pad)))
+                for x in (obsT, obscT, actT, scal, muoldT))
+
+        aW, ab = self._layers(params, "actor")
+        cW, cb = self._layers(params, "critic")
+        aWT = [w.T for w in aW]
+        cWT = [w.T for w in cW]
+        abT = [b.reshape(-1, 1) for b in ab]
+        cbT = [b.reshape(-1, 1) for b in cb]
+        logstd = params["params"]["logstd"].astype(
+            jnp.float32).reshape(-1, 1)
+        nA, nC = len(aW), len(cW)
+
+        kern = functools.partial(
+            _grads_stats_kernel, nA=nA, nC=nC, tile=tile, n_valid=n,
+            n_total=float(n_total), clip_ratio=self.clip_ratio,
+            bound_coef=self.bound_coef, dt=self.dt, interp=self.interpret)
+
+        f32 = jnp.float32
+
+        def col_spec(d):
+            return pl.BlockSpec((d, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        out_shape = (
+            [jax.ShapeDtypeStruct(w.shape, f32) for w in aW]
+            + [jax.ShapeDtypeStruct(b.shape, f32) for b in abT]
+            + [jax.ShapeDtypeStruct(w.shape, f32) for w in cW]
+            + [jax.ShapeDtypeStruct(b.shape, f32) for b in cbT]
+            + [jax.ShapeDtypeStruct(logstd.shape, f32)]
+            + [jax.ShapeDtypeStruct((1, 1), f32)] * 4
+            + [jax.ShapeDtypeStruct((self.num_act, 1), f32)])
+        out_specs = (
+            [_fixed_spec(w.shape) for w in aW]
+            + [_fixed_spec(b.shape) for b in abT]
+            + [_fixed_spec(w.shape) for w in cW]
+            + [_fixed_spec(b.shape) for b in cbT]
+            + [_fixed_spec(logstd.shape)]
+            + [_fixed_spec((1, 1))] * 4
+            + [_fixed_spec((self.num_act, 1))])
+
+        outs = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[col_spec(4),
+                      _fixed_spec((1, 2)),
+                      col_spec(self.num_act),
+                      col_spec(self.num_obs),
+                      col_spec(obscT.shape[0]),
+                      col_spec(self.num_act),
+                      _fixed_spec(logstd.shape)]
+            + [_fixed_spec(w.shape) for w in aWT]
+            + [_fixed_spec(b.shape) for b in abT]
+            + [_fixed_spec(w.shape) for w in aW]
+            + [_fixed_spec(w.shape) for w in cWT]
+            + [_fixed_spec(b.shape) for b in cbT]
+            + [_fixed_spec(w.shape) for w in cW],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(scal, norm, muoldT, obsT, obscT, actT, logstd,
+          *aWT, *abT, *aW, *cWT, *cbT, *cW)
+
+        daW = outs[0:nA]
+        dab = outs[nA:2 * nA]
+        dcW = outs[2 * nA:2 * nA + nC]
+        dcb = outs[2 * nA + nC:2 * nA + 2 * nC]
+        dlogstd, vl, al, bhi, blo, klsq = outs[2 * nA + 2 * nC:]
+        if psum:
+            (daW, dab, dcW, dcb, dlogstd, vl, al, bhi, blo, klsq) = (
+                jax.lax.psum(
+                    (daW, dab, dcW, dcb, dlogstd, vl, al, bhi, blo, klsq),
+                    self.axis_name))
+        grads = {"params": {
+            "actor": {f"Dense_{i}": {"kernel": daW[i],
+                                     "bias": dab[i].reshape(-1)}
+                      for i in range(nA)},
+            "critic": {f"Dense_{i}": {"kernel": dcW[i],
+                                      "bias": dcb[i].reshape(-1)}
+                       for i in range(nC)},
+            "logstd": dlogstd.reshape(1, -1),
+        }}
+        stats = {"vl": vl[0, 0], "al": al[0, 0], "bhi": bhi[0, 0],
+                 "blo": blo[0, 0], "klsq": klsq[:, 0]}
+        return grads, stats
 
     # -- gradient pass -------------------------------------------------------
     def grads(self, params, obs, priv, act, adv, returns, old_logp,

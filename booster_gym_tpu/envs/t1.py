@@ -378,7 +378,7 @@ class T1:
         state = self._resample_commands(state, k2)
         key, k_obs = jax.random.split(state.key)
         state = state.replace(key=key)
-        obs, privileged = self._compute_observations(params, state, k_obs)
+        state, obs, privileged = self._observe(params, state, k_obs)
         info = {
             "privileged_obs": privileged,
             "time_outs": state.time_out_buf,
@@ -656,12 +656,19 @@ class T1:
         return commands, levels
 
     # ------------------------------------------------------------------
-    def step(self, params, state, actions):
-        """One control step (envs/t1.py:437-497)."""
+    def _apply_actions(self, actions):
+        """actions -> (clipped actions, full-dim PD targets).  Subclass hook:
+        tasks whose action space is a subset of the actuated dofs (standup)
+        override the mapping (reference envs/t1.py:437-441)."""
         cfg = self.cfg
         clip = cfg["normalization"]["clip_actions"]
         actions = jnp.clip(actions, -clip, clip)
-        dof_targets = self.default_dof_pos + cfg["control"]["action_scale"] * actions
+        return actions, self.default_dof_pos + cfg["control"]["action_scale"] * actions
+
+    def step(self, params, state, actions):
+        """One control step (envs/t1.py:437-497)."""
+        cfg = self.cfg
+        actions, dof_targets = self._apply_actions(actions)
 
         key, k_step = jax.random.split(state.key)
         state = state.replace(key=key, actions=actions)
@@ -710,15 +717,18 @@ class T1:
         # one terrain-sampler kernel call answers every query of the step:
         # all contact points, the root, and the foot edge points (terrain/
         # sample_kernel.py; XLA gathers would cost ~25 ms at 8192 envs)
-        edge_w = self._feet_edge_world(feet_pos, feet_R)
+        edge_x, edge_y, edge_z = self._feet_edge_world(feet_pos, feet_R)
         pt_h = pt_n = root_h = edge_h = None
         if self.terrain_sampler is not None:
             B, npt = self.num_envs, self.model.num_points
-            nf, ne = edge_w.shape[1], edge_w.shape[2]
+            nf, ne = edge_z.shape[1], edge_z.shape[2]
+            edge_xy = jnp.stack(
+                [edge_x.reshape(B, nf * ne), edge_y.reshape(B, nf * ne)],
+                axis=-1)
             queries = jnp.concatenate([
                 pt_xy,
                 state.sim.root_pos[:, None, :2],
-                edge_w[..., :2].reshape(B, nf * ne, 2),
+                edge_xy,
             ], axis=1)
             h_all, n_all = self._sample_terrain(
                 params.terrain_table, state.sim.root_pos[:, :2], queries)
@@ -731,7 +741,7 @@ class T1:
         state = state.replace(terrain_height_root=root_h)
         state = self._refresh_post_physics(
             params, state, feet_pos=feet_pos, feet_R=feet_R,
-            edge_w=edge_w, edge_heights=edge_h)
+            edge_xyz=(edge_x, edge_y, edge_z), edge_heights=edge_h)
         state = state.replace(
             episode_length=state.episode_length + 1,
             common_step_counter=state.common_step_counter + 1,
@@ -774,7 +784,7 @@ class T1:
         state = self._resample_commands(state, keys[3])
         # refresh derived quantities for envs that were reset/teleported
         state = self._refresh_post_physics(params, state, reset_mask=reset_mask)
-        obs, privileged = self._compute_observations(params, state, keys[4])
+        state, obs, privileged = self._observe(params, state, keys[4])
 
         state = state.replace(
             last_actions=state.actions,
@@ -792,16 +802,36 @@ class T1:
 
     # ------------------------------------------------------------------
     def _feet_edge_world(self, feet_pos, feet_R):
-        """Foot edge points in world frame [B, nf, ne, 3]; merged-batch
-        matmul (nested-batch einsums lower poorly on TPU)."""
-        B, nf = feet_pos.shape[:2]
-        Rf = feet_R.reshape(B * nf, 3, 3)
-        return (feet_pos.reshape(B * nf, 1, 3)
-                + jnp.einsum("xij,ej->xei", Rf, self.feet_edge_pos)
-                ).reshape(B, nf, -1, 3)
+        """Foot edge points in world frame as coordinate planes
+        (x, y, z each [B, nf, ne]).
+
+        Unrolled over the (static, tiny) edge set with scalar edge offsets:
+        every op is elementwise on [B, nf] arrays in the natural batch-major
+        layout.  The earlier nested-batch einsum ([B*nf,3,3]x[ne,3]) forced
+        a {2,1,0,3}-layout [B,nf,ne,3] intermediate whose consumers (the
+        edge-contact compare+reduce) cost ~120 us/step at 4096 envs."""
+        px = feet_pos[..., 0]
+        py = feet_pos[..., 1]
+        pz = feet_pos[..., 2]
+        edge = np.asarray(self.feet_edge_pos)   # static trace-time constants
+        xs, ys, zs = [], [], []
+        for e in range(edge.shape[0]):
+            lx, ly, lz = (float(edge[e, 0]), float(edge[e, 1]),
+                          float(edge[e, 2]))
+            xs.append(px + feet_R[..., 0, 0] * lx + feet_R[..., 0, 1] * ly
+                      + feet_R[..., 0, 2] * lz)
+            ys.append(py + feet_R[..., 1, 0] * lx + feet_R[..., 1, 1] * ly
+                      + feet_R[..., 1, 2] * lz)
+            zs.append(pz + feet_R[..., 2, 0] * lx + feet_R[..., 2, 1] * ly
+                      + feet_R[..., 2, 2] * lz)
+        x = jnp.stack(xs, axis=-1)   # [B, nf, ne]
+        y = jnp.stack(ys, axis=-1)
+        z = jnp.stack(zs, axis=-1)
+        return x, y, z
 
     def _refresh_post_physics(self, params, state, feet_pos=None, feet_R=None,
-                              reset_mask=None, edge_w=None, edge_heights=None):
+                              reset_mask=None, edge_xyz=None,
+                              edge_heights=None):
         """Base-frame velocities, EMA filters, feet state
         (envs/t1.py:463-474, :529-549).
 
@@ -839,12 +869,13 @@ class T1:
         yaw = jnp.arctan2(feet_R[..., 1, 0], feet_R[..., 0, 0])
 
         # edge-point contact detection (envs/t1.py:535-549)
-        if edge_w is None:
-            edge_w = self._feet_edge_world(feet_pos, feet_R)
+        if edge_xyz is None:
+            edge_xyz = self._feet_edge_world(feet_pos, feet_R)
+        edge_x, edge_y, edge_z = edge_xyz
         if edge_heights is None:
             edge_heights = self.terrain.heights(
-                edge_w[..., :2], params.height_field)
-        feet_contact = jnp.any(edge_w[..., 2] - edge_heights < 0.01, axis=-1)
+                jnp.stack([edge_x, edge_y], axis=-1), params.height_field)
+        feet_contact = jnp.any(edge_z - edge_heights < 0.01, axis=-1)
 
         return state.replace(
             base_lin_vel=base_lin_vel, base_ang_vel=base_ang_vel,
@@ -917,6 +948,12 @@ class T1:
         return state, (shift_x != 0) | (shift_y != 0)
 
     # ------------------------------------------------------------------
+    def _observe(self, params, state, key):
+        """(state, obs, privileged) — subclass hook for tasks whose
+        observation carries state across steps (the standup frame stack)."""
+        obs, privileged = self._compute_observations(params, state, key)
+        return state, obs, privileged
+
     def _compute_observations(self, params, state, key):
         """47-dim actor obs + 14-dim privileged obs (envs/t1.py:574-603)."""
         ncfg = self.cfg["normalization"]
@@ -957,7 +994,9 @@ class T1:
         total clipped at >= 0 when only_positive_rewards."""
         rcfg = self.cfg["rewards"]
         terms = {}
-        fns = _REWARD_FUNCTIONS
+        # per-class registry so subclasses (standup) add their own terms
+        fns = {n[len("_reward_"):]: getattr(type(self), n)
+               for n in dir(type(self)) if n.startswith("_reward_")}
         for name, scale in self.reward_scales.items():
             terms[name] = fns[name](self, params, state) * scale
         total = sum(terms.values())

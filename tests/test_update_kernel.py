@@ -9,6 +9,8 @@ the subgradient conventions at clip boundaries and max ties — across
 tile-accumulation, row padding/masking, and the shard_map (mesh) path.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,6 +146,123 @@ def test_grads_under_mesh_match_single_device():
     np.testing.assert_allclose(np.asarray(v8), np.asarray(v1),
                                rtol=1e-5, atol=1e-6)
     _assert_tree_close(g8, g1, rtol=1e-5, atol=1e-6)
+
+
+def _gae_xla(net, params, obs, priv, rew, done, timeout, last_values,
+             gamma=0.995, lam=0.95):
+    from booster_gym_tpu.algo.ppo import discount_values
+
+    values = net.apply(params, obs, priv, method=ActorCritic.est_value)
+    rwd = jnp.where(timeout, values, rew)
+    adv = discount_values(rwd, done | timeout, values, last_values,
+                          gamma, lam)
+    return adv, values + adv
+
+
+@pytest.mark.parametrize("B", [128, 96])  # 96: masked lane padding
+def test_gae_kernel_matches_xla(B):
+    """Fused values+GAE kernel == est_value -> timeout bootstrap ->
+    discount_values, including the masked advantage sums."""
+    net, params, obs, priv, *_ = _make("f32", T=5, B=B)
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    rew = jax.random.normal(ks[0], (5, B))
+    done = jax.random.bernoulli(ks[1], 0.2, (5, B))
+    timeout = jax.random.bernoulli(ks[2], 0.1, (5, B))
+    lastv = jax.random.normal(ks[3], (B,))
+
+    adv_ref, ret_ref = jax.jit(functools.partial(_gae_xla, net))(
+        params, obs, priv, rew, done, timeout, lastv)
+
+    fused = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
+                        compute_dtype="f32", tile=128, interpret=True)
+    nonterm = 1.0 - (done | timeout).astype(jnp.float32)
+    adv, ret, sa, sa2 = jax.jit(
+        functools.partial(fused.gae, gamma=0.995, lam=0.95))(
+        params, obs, priv, rew, nonterm, timeout.astype(jnp.float32), lastv)
+
+    np.testing.assert_allclose(np.asarray(adv), np.asarray(adv_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), np.asarray(ret_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(sa), float(jnp.sum(adv_ref)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(sa2), float(jnp.sum(adv_ref ** 2)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grads_stats_matches_grads_and_reference_metrics():
+    """grads_stats == grads on pre-normalized advantages, and its metric
+    sums reproduce the exact reference formulas computed in XLA."""
+    net, params, obs, priv, act, adv, ret, old_logp = _make("f32")
+    mean = jnp.mean(adv)
+    rstd = 1.0 / (jnp.std(adv, ddof=1) + 1e-8)
+    adv_n = (adv - mean) * rstd
+
+    fused = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
+                        compute_dtype="f32", tile=128, interpret=True)
+    g_ref, mu_ref, val_ref = jax.jit(fused.grads)(
+        params, obs, priv, act, adv_n, ret, old_logp)
+
+    mu_old, std_old = net.apply(params, obs, method=ActorCritic.act)
+    g, st = jax.jit(fused.grads_stats)(
+        params, obs, priv, act, adv, ret, old_logp, mu_old, mean, rstd)
+    # grads_stats contracts dW over the lane (sample) axis, grads over the
+    # row axis: different f32 summation order, ~1e-7 reassociation noise
+    _assert_tree_close(g, g_ref, rtol=2e-4, atol=5e-7)
+
+    # reference metric formulas (utils/runner.py:146-162) on mu/values
+    N = mu_ref.shape[0] * mu_ref.shape[1]
+    na = 12
+    value_loss = jnp.mean(jnp.square(val_ref - ret))
+    logp = normal_log_prob(mu_ref, std_old, act)
+    ratio = jnp.exp(logp - old_logp)
+    surr = -adv_n * ratio
+    surr_c = -adv_n * jnp.clip(ratio, 0.8, 1.2)
+    actor_loss = jnp.mean(jnp.maximum(surr, surr_c))
+    b_hi = jnp.mean(jnp.square(jnp.clip(mu_ref - 1.0, min=0.0)))
+    b_lo = jnp.mean(jnp.square(jnp.clip(mu_ref + 1.0, max=0.0)))
+    np.testing.assert_allclose(float(st["vl"] / N), float(value_loss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(st["al"] / N), float(actor_loss),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        float(st["bhi"] / (N * na) + st["blo"] / (N * na)),
+        float(b_hi + b_lo), rtol=1e-4, atol=1e-9)
+    # KL sums: mu_old == mu_new here, so the quadratic term is ~0
+    np.testing.assert_allclose(np.asarray(st["klsq"]), 0.0, atol=1e-8)
+
+
+def test_gae_under_mesh_matches_single_device():
+    from booster_gym_tpu.parallel import make_mesh
+
+    net, params, obs, priv, *_ = _make("f32", T=4, B=128)
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    rew = jax.random.normal(ks[0], (4, 128))
+    done = jax.random.bernoulli(ks[1], 0.2, (4, 128))
+    timeout = jax.random.bernoulli(ks[2], 0.1, (4, 128))
+    lastv = jax.random.normal(ks[3], (128,))
+    nonterm = 1.0 - (done | timeout).astype(jnp.float32)
+    tf = timeout.astype(jnp.float32)
+
+    single = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
+                         compute_dtype="f32", tile=128, interpret=True)
+    a1, r1, sa1, sa21 = jax.jit(
+        functools.partial(single.gae, gamma=0.995, lam=0.95))(
+        params, obs, priv, rew, nonterm, tf, lastv)
+
+    sharded = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
+                          compute_dtype="f32", tile=128, interpret=True,
+                          mesh=make_mesh(8))
+    a8, r8, sa8, sa28 = jax.jit(
+        functools.partial(sharded.gae, gamma=0.995, lam=0.95))(
+        params, obs, priv, rew, nonterm, tf, lastv)
+    np.testing.assert_allclose(np.asarray(a8), np.asarray(a1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r8), np.asarray(r1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(sa8), float(sa1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(sa28), float(sa21), rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_train_iteration_fused_matches_xla():
