@@ -98,7 +98,32 @@ def export_onnx(actor_torch, num_obs, output):
     return output
 
 
-def export(checkpoint_path, output=None, fmt="torchscript"):
+def standup_module(actor, cfg):
+    """Wrap the trained standup actor in the deploy-interface module:
+    forward(obs [B,42], stacked_obs [B,deploy_stack,42]) -> [B,12], the
+    exact call signature StandupPolicy.inference drives (reference
+    deploy/utils/standup_policy.py:152-159).  The policy was trained on
+    the newest `train_stack` frames, so the module slices them from the
+    deploy-side 50-frame stack (newest first in both)."""
+    import torch
+
+    scfg = cfg["standup"]
+
+    class StandupActor(torch.nn.Module):
+        def __init__(self, actor, train_stack):
+            super().__init__()
+            self.actor = actor
+            self.train_stack = train_stack
+
+        def forward(self, obs, stacked_obs):
+            x = stacked_obs[:, : self.train_stack, :]
+            x = x.reshape(x.shape[0], -1)
+            return self.actor(x)
+
+    return StandupActor(actor, int(scfg["train_stack"]))
+
+
+def export(checkpoint_path, output=None, fmt="torchscript", task=None):
     import torch
 
     from booster_gym_tpu.utils.recorder import load_checkpoint, resolve_checkpoint
@@ -108,9 +133,18 @@ def export(checkpoint_path, output=None, fmt="torchscript"):
     saved = load_checkpoint(path)
     base = output or (path[:-5] if path.endswith(".ckpt") else path)
     base = os.path.splitext(base)[0] if base.endswith((".pt", ".mlir")) else base
+    standup_cfg = None
+    if task:
+        from booster_gym_tpu.utils.config import load_task_cfg
+
+        cfg = load_task_cfg(task)
+        if "standup" in cfg:
+            standup_cfg = cfg
     outputs = []
     if fmt in ("torchscript", "all"):
         actor = actor_params_to_torch(saved["params"])
+        if standup_cfg is not None:
+            actor = standup_module(actor, standup_cfg)
         torch.jit.script(actor).save(base + ".pt")
         print(f"Saved TorchScript actor to {base}.pt")
         outputs.append(base + ".pt")
@@ -140,4 +174,4 @@ if __name__ == "__main__":
     parser.add_argument("--format", type=str, default="torchscript",
                         choices=["torchscript", "stablehlo", "onnx", "all"])
     args = parser.parse_args()
-    export(args.checkpoint, args.output, args.format)
+    export(args.checkpoint, args.output, args.format, task=args.task)
