@@ -181,7 +181,56 @@ def run_bench():
         f"reward={float(metrics['reward']):.3f}",
         file=sys.stderr,
     )
-    emit(per_chip)
+    phases = _phase_split(jax, env, ppo, env_params, ts,
+                          t_iter_ms=dt / iters * 1000.0)
+    emit(per_chip, {"phases_ms": phases} if phases else None)
+
+
+def _phase_split(jax, env, ppo, env_params, ts, t_iter_ms):
+    """Per-phase attribution (VERDICT r3 #8): time rollout / update /
+    physics-inner-loop sub-programs so round-over-round regressions are
+    attributable from the driver artifact alone.  Diagnostics only — any
+    failure is reported and swallowed."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    def _time_fn(fn, *args, n=10):
+        out = fn(*args)
+        jax.block_until_ready(jax.tree.leaves(out))
+        t0 = _time.time()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(jax.tree.leaves(out))
+        return (_time.time() - t0) / n * 1000.0
+
+    try:
+        horizon = ppo.horizon
+        roll = jax.jit(ppo.rollout)
+        t_roll = _time_fn(roll, env_params, ts)
+        carry, buf = roll(env_params, ts)
+        t_upd = _time_fn(jax.jit(ppo.update), ts, carry, buf)
+        phases = {"iter": round(t_iter_ms, 2),
+                  "rollout": round(t_roll, 2),
+                  "update": round(t_upd, 2)}
+        if env.pallas_backend:
+            s = ts.env_state
+            B = s.sim.q.shape[0]
+            zeros3 = jnp.zeros((B, 3))
+
+            def inner(p, st):
+                return env._physics_inner_loop_packed(
+                    p, st, st.last_dof_targets, zeros3, zeros3)
+
+            t_phys = _time_fn(jax.jit(inner), env_params, s) * horizon
+            phases["physics"] = round(t_phys, 2)
+            phases["env_layer"] = round(t_roll - t_phys, 2)
+        print(f"phase split (ms/iter): {phases}", file=sys.stderr)
+        return phases
+    except Exception as e:  # noqa: BLE001 - diagnostics must never fail bench
+        print(f"phase split skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
 
 
 def main():
@@ -211,8 +260,17 @@ def main():
     # closed before all bytes were read" during the warmup loop, AFTER the
     # big compile succeeded).  Retry the whole bench on transient-looking
     # failures — the persistent compilation cache makes retries warm.
+    # Matches are deliberately narrow (tunnel/transport strings, not bare
+    # "INTERNAL"/"connection"): a deterministic XLA INTERNAL error must
+    # fail fast with its own message, not burn two retries first.
     TRANSIENT = ("remote_compile", "UNAVAILABLE", "DEADLINE_EXCEEDED",
-                 "read body", "connection", "INTERNAL")
+                 "read body", "connection reset", "connection closed",
+                 "Failed to connect", "Socket closed", "RST_STREAM")
+    # a warm retry needs ~200s eager init + seconds of cached compile +
+    # ~60s measurement; below this remaining budget a retry can only end
+    # as a generic watchdog timeout, so emit the specific error instead
+    WARM_RETRY_BUDGET_S = 500.0
+    start_time = time.time()
 
     def worker():
         for attempt in range(3):
@@ -225,7 +283,14 @@ def main():
                 msg = f"{type(e).__name__}: {e}"
                 if _emitted:
                     return
+                remaining = TOTAL_TIMEOUT_S - (time.time() - start_time)
                 transient = any(t in msg for t in TRANSIENT)
+                if transient and remaining < WARM_RETRY_BUDGET_S:
+                    print(f"transient failure but only {remaining:.0f}s of "
+                          f"watchdog budget left (< {WARM_RETRY_BUDGET_S:.0f}s"
+                          f") — not retrying: {msg}", file=sys.stderr)
+                    emit(None, {"error": msg})
+                    return
                 if attempt < 2 and transient:
                     print(f"transient failure, retrying bench "
                           f"(attempt {attempt + 2}/3): {msg}",

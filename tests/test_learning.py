@@ -66,10 +66,12 @@ def test_tiny_t1_learns():
     # learning happened: reward well above its start; survival not COLLAPSING
     # (XLA:CPU reductions are not run-to-run deterministic — thread-order
     # float summation — so the same seed wanders a few % between runs; a
-    # 0.95 guard flaked at 46.7 -> 43.5 steps.  25% headroom still catches
-    # a policy that trades survival for reward.)
+    # 0.95 guard flaked at 46.7 -> 43.5 steps, i.e. ~7% drift.  The guard is
+    # 0.85 — 2x the observed drift, averaged over the 40-iteration EARLY/
+    # LATE windows — so a real survival-for-reward regression (>15%) still
+    # fails while the documented nondeterminism does not.
     assert late_r > max(1.5 * early_r, early_r + 0.1), (
         f"no learning: early reward {early_r:.3f} -> late {late_r:.3f}\n"
         f"curve: {np.round(rewards[::15], 3)}")
-    assert late_s > 0.75 * early_s, (
+    assert late_s > 0.85 * early_s, (
         f"survival degraded: {early_s:.1f} -> {late_s:.1f} steps")
