@@ -60,12 +60,17 @@ class ActorCritic(nn.Module):
     num_obs: int
     num_privileged_obs: int
     compute_dtype: str = "bf16"   # see MLP.compute_dtype
+    # reference init is -2.0 (utils/model.py:14); exploration-hungry tasks
+    # (standup: +-5 action range from sparse-ish success) override it
+    init_logstd: float = -2.0
 
     def setup(self):
         self.actor = MLP((256, 128, 128), self.num_act, self.compute_dtype)
         self.critic = MLP((256, 256, 128), 1, self.compute_dtype)
+        init = self.init_logstd
         self.logstd = self.param(
-            "logstd", lambda key, shape: jnp.full(shape, -2.0), (1, self.num_act))
+            "logstd", lambda key, shape: jnp.full(shape, init),
+            (1, self.num_act))
 
     def __call__(self, obs, privileged_obs):
         """Used only for parameter init."""

@@ -100,7 +100,8 @@ class PPO:
         self.axis_name = "dp"
         self.network = ActorCritic(
             env.num_actions, env.num_obs, env.num_privileged_obs,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            init_logstd=acfg.get("init_logstd", -2.0))
         self.tx = optax.chain(
             optax.clip_by_global_norm(acfg.get("grad_norm_clip", 1.0)),
             optax.inject_hyperparams(optax.adam)(learning_rate=self.base_lr),
@@ -174,7 +175,9 @@ class PPO:
             for name, val in {"reward": rew, **info["rew_terms"]}.items():
                 s = ep_sums[name] + val
                 fin_sums[name] = fin_sums[name] + jnp.sum(s * d)
-                new_sums[name] = s * (1.0 - d)
+                # where(), not s*(1-d): a non-finite episode sum must not
+                # survive its env's reset (NaN * 0 == NaN)
+                new_sums[name] = jnp.where(done, 0.0, s)
             fin_cnt = fin_cnt + jnp.sum(d)
             fin_steps = fin_steps + jnp.sum(ep_steps * done)
             ep_steps = ep_steps * (1 - done)

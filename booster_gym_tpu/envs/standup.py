@@ -113,10 +113,13 @@ class T1Standup(T1):
         """Random near-horizontal drop poses (pre-settling)."""
         B = self.num_envs
         ks = jax.random.split(key, 5)
-        # axis: roll (sides) or pitch (prone/supine); angle 60-120 deg both
-        # signs, plus uniform yaw
+        # axis: roll (sides) or pitch (prone/supine).  The angle range
+        # spans SHALLOW tilts (a 20-50 deg drop settles kneeling/leaning —
+        # poses from which success is reachable by a short push, seeding
+        # the value function) through fully horizontal (60-120 deg) —
+        # curriculum by initialization, no schedule needed.
         angle = jax.random.uniform(
-            ks[0], (B,), minval=jnp.deg2rad(60.0), maxval=jnp.deg2rad(120.0))
+            ks[0], (B,), minval=jnp.deg2rad(20.0), maxval=jnp.deg2rad(120.0))
         angle = angle * jnp.where(jax.random.bernoulli(ks[1], 0.5, (B,)), 1.0, -1.0)
         use_pitch = jax.random.bernoulli(ks[2], 0.5, (B,))
         roll = jnp.where(use_pitch, 0.0, angle)
@@ -220,12 +223,20 @@ class T1Standup(T1):
             delay_steps=jnp.where(mask, delay, state.delay_steps),
         )
 
-    # -- termination: timeout / blowup only ----------------------------------
+    # -- termination: timeout / blowup / fault only ---------------------------
     def _check_termination(self, state):
         rcfg = self.cfg["rewards"]
         root_vel6 = jnp.concatenate(
             [state.sim.root_lin_vel, state.sim.root_ang_vel], -1)
         reset = jnp.sum(root_vel6 ** 2, axis=-1) > rcfg["terminate_vel"]
+        # fault containment: vigorous exploration can blow the contact
+        # solver up to non-finite state WITHIN one control step, and a NaN
+        # env fails every comparison — it would never reset and would
+        # poison the full-batch advantage statistics.  Detect and reset.
+        bad = ~(jnp.isfinite(jnp.sum(root_vel6, axis=-1))
+                & jnp.isfinite(jnp.sum(state.sim.q, axis=-1))
+                & jnp.isfinite(state.sim.root_pos[:, 2]))
+        reset |= bad
         time_out = state.episode_length > self.max_episode_length
         reset |= time_out
         return state.replace(reset_buf=reset, time_out_buf=time_out)
@@ -265,7 +276,12 @@ class T1Standup(T1):
 
     def _observe(self, params, state, key):
         k_frame, k_priv = jax.random.split(key)
-        frame = self._frame(params, state, k_frame)
+        # a faulted env's last pre-reset step must contribute zeros, not
+        # NaN, to the rollout buffers (the update normalizes advantages
+        # over the FULL batch — one NaN poisons every gradient)
+        frame = jnp.nan_to_num(
+            self._frame(params, state, k_frame),
+            nan=0.0, posinf=0.0, neginf=0.0)
         # newest-first roll; a reset env's stack is filled with its first
         # frame (deploy wrapper first_inference semantics)
         rolled = jnp.concatenate(
@@ -295,7 +311,18 @@ class T1Standup(T1):
             ],
             axis=-1,
         )
-        return None, privileged
+        # same fault containment as the actor frame (see _observe)
+        return None, jnp.nan_to_num(privileged, nan=0.0, posinf=0.0,
+                                    neginf=0.0)
+
+    def _compute_reward(self, params, state):
+        """T1's reward loop with fault containment: a non-finite state's
+        one pre-reset step contributes zero reward, not NaN (see
+        _check_termination)."""
+        total, terms = super()._compute_reward(params, state)
+        terms = {k: jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+                 for k, v in terms.items()}
+        return sum(terms.values()), terms
 
     # -- standup reward terms -------------------------------------------------
     def _reward_standup_height(self, params, state):
@@ -303,8 +330,13 @@ class T1Standup(T1):
         return jnp.clip(h / self.target_height, 0.0, 1.0)
 
     def _reward_standup_upright(self, params, state):
-        # projected gravity z: -1 upright, 0 lying, +1 inverted
-        return jnp.square(0.5 * (1.0 - state.projected_gravity[:, 2]))
+        # projected gravity z: -1 upright, 0 lying, +1 inverted — GATED by
+        # trunk height so "sitting/kneeling upright" (a strong local
+        # optimum: torso vertical at ~0.25 of standing height) pays a
+        # quarter of standing upright
+        h = state.sim.root_pos[:, 2] - state.terrain_height_root
+        gate = jnp.clip(h / self.target_height, 0.0, 1.0)
+        return jnp.square(0.5 * (1.0 - state.projected_gravity[:, 2])) * gate
 
     def _reward_standup_posture(self, params, state):
         # gated by uprightness so the sprawl phase is free to move

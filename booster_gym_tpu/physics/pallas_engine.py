@@ -773,6 +773,12 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
                 out_specs=out_specs,
                 out_shape=out_shapes,
                 interpret=bool(interpret),
+                # the default 16 MB scoped-VMEM cap fits the 12-DoF body;
+                # the 23-DoF serial tree (121 points, 24 bodies) needs
+                # ~21 MB of scheduling headroom
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                    vmem_limit_bytes=64 * 1024 * 1024),
             )(*args)
         return tuple(outs[:6]), outs[6], outs[7], outs[8]
 

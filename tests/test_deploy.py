@@ -195,3 +195,56 @@ def test_teleop_stale_freezes_arm_targets(deploy_cfg):
     ctrl.run_inference_step()
     np.testing.assert_allclose(ctrl.dof_target[:10], 0.9, atol=1e-6)
     ctrl.cleanup()
+
+
+STANDUP_MODEL = os.path.join(
+    os.path.dirname(__file__), "..", "models", "T1_standup.pt")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(PRETRAINED) and os.path.exists(STANDUP_MODEL)),
+    reason="needs walking + standup artifacts")
+def test_standup_policy_runs_in_controller(deploy_cfg):
+    """The STANDUP control mode driven by OUR trained fall-recovery policy
+    (models/T1_standup.pt, produced by train.py --task=T1Standup and
+    exported behind the deploy interface): the full wrapper pipeline —
+    42-dim frames, 50-frame newest-first stack, mirror-averaged inference,
+    action scale/clip (reference deploy/utils/standup_policy.py:137-170) —
+    must produce finite, rate-sane joint targets from a fallen state."""
+    import copy
+
+    cfg = copy.deepcopy(deploy_cfg)
+    cfg["policy"]["standup_policy_path"] = STANDUP_MODEL
+    robot = MockRobot()
+    remote = ScriptedRemote(auto_start=True)
+    ctrl = Controller(cfg, robot, remote, policy_path=PRETRAINED,
+                      sim_time=True, enable_standup=True,
+                      standup_policy_path=STANDUP_MODEL)
+    ctrl.start_custom_mode(wait=False)
+    # fall, then request standup
+    robot.rpy = np.array([0.0, 1.4, 0.0])
+    robot.tick()
+    assert ctrl.control_mode is ControlMode.IDLE
+    remote.request_standup()
+    robot.tick()
+    assert ctrl.control_mode is ControlMode.STANDUP
+
+    targets = []
+    for _ in range(100):           # 2 s of the 50 Hz inference loop
+        robot.tick(10)
+        if ctrl.run_inference_step():
+            targets.append(ctrl.dof_target.copy())
+        ctrl.publish_step()
+    t = np.asarray(targets)
+    assert len(t) >= 90
+    assert np.all(np.isfinite(t))
+    # the policy commands the standup joint subset away from pure defaults
+    idx = cfg["policy"]["standup_joint_indices"]
+    moved = np.abs(t[-1, idx] - t[0, idx]).max()
+    assert moved > 1e-4, "standup policy produced frozen targets"
+    # and stays within the wrapper's clip envelope around the defaults
+    default = np.asarray(cfg["common"]["default_qpos"])
+    scale = cfg["policy"]["control"]["action_scale"]
+    clip = cfg["policy"]["normalization"]["standup_clip_actions"]
+    assert np.all(np.abs(t[:, idx] - default[idx]) <= scale * clip + 1e-5)
+    ctrl.cleanup()
