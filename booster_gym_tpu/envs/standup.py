@@ -114,12 +114,13 @@ class T1Standup(T1):
         B = self.num_envs
         ks = jax.random.split(key, 5)
         # axis: roll (sides) or pitch (prone/supine).  The angle range
-        # spans SHALLOW tilts (a 20-50 deg drop settles kneeling/leaning —
-        # poses from which success is reachable by a short push, seeding
-        # the value function) through fully horizontal (60-120 deg) —
-        # curriculum by initialization, no schedule needed.
+        # spans NEAR-STANDING tilts (a 5-20 deg drop settles standing or
+        # crouched — envs that only need to balance, so the success signal
+        # and the top of the height-value landscape exist from iteration
+        # one) through kneeling-range tilts (20-50 deg) to fully horizontal
+        # (60-120 deg) — curriculum by initialization, no schedule needed.
         angle = jax.random.uniform(
-            ks[0], (B,), minval=jnp.deg2rad(20.0), maxval=jnp.deg2rad(120.0))
+            ks[0], (B,), minval=jnp.deg2rad(5.0), maxval=jnp.deg2rad(120.0))
         angle = angle * jnp.where(jax.random.bernoulli(ks[1], 0.5, (B,)), 1.0, -1.0)
         use_pitch = jax.random.bernoulli(ks[2], 0.5, (B,))
         roll = jnp.where(use_pitch, 0.0, angle)
@@ -175,10 +176,45 @@ class T1Standup(T1):
 
         if isinstance(sim.q, jax.core.Tracer):
             # init_params is being traced (jitted init) — inline the settle
-            return settle(sim)
-        from booster_gym_tpu.utils.compile import jit_nofusion
+            settled = settle(sim)
+        else:
+            from booster_gym_tpu.utils.compile import jit_nofusion
 
-        return jit_nofusion(settle)(sim)
+            settled = jit_nofusion(settle)(sim)
+        # a quarter of the bank is a STANDING-TO-SQUAT ladder: depth 0 is
+        # the exact default stance, deeper entries bend hips/knees/ankles
+        # toward a full squat with the root lowered to match.  A PD-held
+        # statue tipped even 5 degrees falls during settling, so without
+        # these no bank entry is upright and the policy never experiences
+        # balance; the continuous depth ladder additionally bridges the
+        # kneel->stand gap that pure drop-settles leave (every recovery
+        # passes through a squat).
+        n_stand = max(1, B // 4)
+        standing = jnp.arange(B) < n_stand
+        depth = jnp.clip(jnp.arange(B, dtype=jnp.float32)
+                         / jnp.maximum(n_stand - 1, 1), 0.0, 1.0)
+        names = self.model.dof_names
+        q_def = jnp.broadcast_to(self.default_dof_pos,
+                                 settled.q.shape).copy()
+        bend = {"Hip_Pitch": -1.4, "Knee_Pitch": 2.2, "Ankle_Pitch": -0.8}
+        for j, nm in enumerate(names):
+            for key, amount in bend.items():
+                if key in nm:
+                    q_def = q_def.at[:, j].add(depth * amount)
+        q_def = jnp.clip(q_def, self.dof_lower, self.dof_upper)
+        pos_def = settled.root_pos.at[:, 2].set(
+            float(self.base_init_pos[2]) - 0.36 * depth)
+        quat_def = jnp.broadcast_to(
+            jnp.asarray([1.0, 0.0, 0.0, 0.0]), settled.root_quat.shape)
+        m1 = standing[:, None]
+        return SimState(
+            root_pos=jnp.where(m1, pos_def, settled.root_pos),
+            root_quat=jnp.where(m1, quat_def, settled.root_quat),
+            root_lin_vel=jnp.where(m1, 0.0, settled.root_lin_vel),
+            root_ang_vel=jnp.where(m1, 0.0, settled.root_ang_vel),
+            q=jnp.where(m1, q_def, settled.q),
+            qd=jnp.where(m1, 0.0, settled.qd),
+        )
 
     # -- resets from the bank ------------------------------------------------
     def _reset_envs(self, params, state, mask, key):
@@ -326,8 +362,11 @@ class T1Standup(T1):
 
     # -- standup reward terms -------------------------------------------------
     def _reward_standup_height(self, params, state):
+        # quadratic ramp: the all-fours prop (h ~ 0.36 of target) is a
+        # strong local optimum under a linear ramp; squaring concentrates
+        # the payoff near standing (0.13 vs 1.0)
         h = state.sim.root_pos[:, 2] - state.terrain_height_root
-        return jnp.clip(h / self.target_height, 0.0, 1.0)
+        return jnp.square(jnp.clip(h / self.target_height, 0.0, 1.0))
 
     def _reward_standup_upright(self, params, state):
         # projected gravity z: -1 upright, 0 lying, +1 inverted — GATED by

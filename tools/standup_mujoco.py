@@ -114,6 +114,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--drops", type=int, default=4)
     ap.add_argument("--out", default="benchmarks/standup_mujoco.json")
+    ap.add_argument("--no-mirror", action="store_true",
+                    help="bypass the wrapper's mirror averaging (diagnose "
+                         "asymmetric get-up strategies)")
     args = ap.parse_args()
 
     import mujoco
@@ -127,10 +130,43 @@ def main():
     with open(dcfg_path) as f:
         dcfg = yaml.safe_load(f)
 
-    model = load_mjcf(_resolve_asset(tcfg["asset"]["mujoco_file"]))
+    # the reference serial MJCF's <contact> pairs were authored for
+    # WALKING: feet/thigh/hand/torso/head touch the ground but the calves
+    # (shins) have no ground pair at all — a kneeling get-up falls through
+    # the floor in stock MuJoCo.  Patch the physically-missing pairs in
+    # for this check only (our engine's URDF-derived contact points cover
+    # the shins; reference resources/T1/T1_serial.xml:211-236).
+    path = _resolve_asset(tcfg["asset"]["mujoco_file"])
+    with open(path) as f:
+        xml = f.read()
+    base = os.path.dirname(os.path.abspath(path))
+    import re
+
+    xml = re.sub(r'meshdir="([^"]+)"',
+                 lambda m: f'meshdir="{os.path.join(base, m.group(1))}"', xml)
+    if '"ground"' in xml and "<geom name=\"ground\"" not in xml:
+        xml = xml.replace(
+            "<worldbody>",
+            '<worldbody>\n    <geom name="ground" type="plane" '
+            'pos="0 0 0" size="0 0 1" condim="3"/>', 1)
+    xml = xml.replace(
+        "</contact>",
+        '  <pair geom1="left_calf" geom2="ground" />\n'
+        '    <pair geom1="right_calf" geom2="ground" />\n'
+        '    <pair geom1="left_forearm" geom2="ground" />\n'
+        '    <pair geom1="right_forearm" geom2="ground" />\n'
+        '  </contact>')
+    import mujoco as _mj
+
+    model = _mj.MjModel.from_xml_string(xml)
     model.opt.timestep = tcfg["sim"]["dt"]
     data = mujoco.MjData(model)
     pol = StandupPolicy(dcfg, policy_path=args.model)
+    if args.no_mirror:
+        import numpy as _np
+
+        pol._mirror_obs = _np.eye(42, dtype=_np.float32)
+        pol._mirror_act = _np.eye(12, dtype=_np.float32)
     if not hasattr(pol, "reset"):
         # wrapper resets by re-arming first_inference
         def _reset():
