@@ -212,9 +212,18 @@ class PPO:
         timeout_f = timeout_buf.astype(jnp.float32)
         fused_once = (self._fused_update()
                       if self.update_backend == "fused" else None)
-        prep = (fused_once.prepare(obs_buf, priv_buf, act_buf, mu_buf,
-                                   old_logp)
-                if fused_once is not None else None)
+        prep = None
+        if fused_once is not None:
+            prep = fused_once.prepare(obs_buf, priv_buf, act_buf, mu_buf,
+                                      old_logp)
+            # the update's "old policy" must come from the SAME forward
+            # path the gradient kernel uses — in bf16, mixing the rollout's
+            # flax-computed mu/old_logp with the kernel's mu inflates
+            # epoch-0 ratios and floors the KL estimate, which the adaptive
+            # LR then chases (measured: reward@5k 54.6 vs 66.7; see
+            # update_kernel._policy_logp_kernel)
+            muT0, logp0 = fused_once.policy_old_logp(ts.params, prep)
+            prep = {**prep, "muoldT": muT0, "old_logp": logp0}
 
         def epoch_fused(carry, _):
             """Mini-epoch through the fused Pallas kernels (round 4 layout):

@@ -342,6 +342,29 @@ def _mlp_bwd_T(xs, zs, Ws, dz_last, dW_refs, db_refs, first, interp=False):
             dz = dh * _elu_grad(zs[i - 1])
 
 
+def _policy_logp_kernel(obs_ref, act_ref, logstd_ref, *refs,
+                        nA, dt, interp):
+    """Actor forward + log-prob through the EXACT code path of
+    _grads_stats_kernel's forward.  Run once per iteration at the rollout
+    parameters, its outputs replace the rollout's flax-computed mu/old_logp
+    in the update: in bf16 the two forward paths differ by ~1 ulp of mu,
+    which inflates epoch-0 importance ratios by several percent and — via
+    the (mu_new - mu_old)^2 term — puts a constant ~1e-3 floor under the
+    KL estimate that biases the adaptive LR low.  Measured cost of that
+    inconsistency: flat-terrain reward 54.6 vs 66.7 at 5k iterations."""
+    aWT = refs[0:nA]
+    ab = refs[nA:2 * nA]
+    mu_ref, logp_ref = refs[2 * nA:]
+    _, za = _mlp_fwd_T(obs_ref[...].astype(dt), aWT, ab, dt, interp)
+    mu = za[-1].astype(jnp.float32)
+    logstd = logstd_ref[...]
+    var = jnp.exp(2.0 * logstd)
+    diff = act_ref[...] - mu
+    lp = -0.5 * diff * diff / var - logstd - 0.5 * _LOG2PI
+    mu_ref[...] = mu
+    logp_ref[...] = jnp.sum(lp, axis=0, keepdims=True)
+
+
 def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
                         act_ref, logstd_ref, *refs,
                         nA, nC, tile, n_valid, n_total, clip_ratio,
@@ -617,6 +640,69 @@ class FusedUpdate:
             "muoldT": jnp.moveaxis(mu_old, -1, 0),
             "old_logp": old_logp,
         }
+
+    def policy_old_logp(self, params, prep):
+        """(mu_oldT [na, *lead], old_logp [*lead]) computed through the
+        gradient kernel's own forward path at the CURRENT (= rollout)
+        params — see _policy_logp_kernel for why the rollout's flax
+        values must not be used as the update's old policy in bf16."""
+        lead = prep["old_logp"].shape
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            lspec = P(*([None] * (len(lead) - 1) + [self.axis_name]))
+            tspec = P(None, *([None] * (len(lead) - 1) + [self.axis_name]))
+            fn = jax.shard_map(
+                self._policy_old_logp_local, mesh=self.mesh,
+                in_specs=(P(), {k: (lspec if k == "old_logp" else tspec)
+                                for k in prep}),
+                out_specs=(tspec, lspec), check_vma=False)
+            return fn(params, prep)
+        return self._policy_old_logp_local(params, prep)
+
+    def _policy_old_logp_local(self, params, prep):
+        lead = prep["old_logp"].shape
+        obsT = prep["obsT"].reshape(self.num_obs, -1)
+        actT = prep["actT"].reshape(self.num_act, -1)
+        n = obsT.shape[1]
+        tile = min(self.tile, -(-n // 128) * 128)
+        grid = max(1, -(-n // tile))
+        pad = grid * tile - n
+        if pad:
+            obsT, actT = (jnp.pad(x, ((0, 0), (0, pad)))
+                          for x in (obsT, actT))
+        aW, ab = self._layers(params, "actor")
+        aWT = [w.T for w in aW]
+        abT = [b.reshape(-1, 1) for b in ab]
+        logstd = params["params"]["logstd"].astype(
+            jnp.float32).reshape(-1, 1)
+        kern = functools.partial(
+            _policy_logp_kernel, nA=len(aW), dt=self.dt,
+            interp=self.interpret)
+
+        def col_spec(d):
+            return pl.BlockSpec((d, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        f32 = jnp.float32
+        mu, logp = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[col_spec(self.num_obs), col_spec(self.num_act),
+                      _fixed_spec(logstd.shape)]
+            + [_fixed_spec(w.shape) for w in aWT]
+            + [_fixed_spec(b.shape) for b in abT],
+            out_specs=(col_spec(self.num_act), col_spec(1)),
+            out_shape=(jax.ShapeDtypeStruct((self.num_act, grid * tile), f32),
+                       jax.ShapeDtypeStruct((1, grid * tile), f32)),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(obsT, actT, logstd, *aWT, *abT)
+        mu = mu[:, :n].reshape((self.num_act,) + lead)
+        logp = logp[0, :n].reshape(lead)
+        return mu, logp
 
     def grads_stats(self, params, obs, priv, act, adv_raw, returns,
                     old_logp, mu_old, adv_mean, adv_rstd, n_total=None):

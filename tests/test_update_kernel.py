@@ -265,6 +265,25 @@ def test_gae_under_mesh_matches_single_device():
                                atol=1e-5)
 
 
+def test_policy_old_logp_matches_flax():
+    """The consistency pre-pass (kernel-path mu/old_logp at rollout params)
+    equals the flax forward at f32; shapes round-trip through prepare()."""
+    net, params, obs, priv, act, adv, ret, old_logp = _make("f32")
+    fused = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
+                        compute_dtype="f32", tile=128, interpret=True)
+    mu_ref, std_ref = net.apply(params, obs, method=ActorCritic.act)
+    prep = fused.prepare(obs, priv, act, mu_ref, old_logp)
+    muT0, logp0 = jax.jit(fused.policy_old_logp)(params, prep)
+    assert muT0.shape == (12,) + obs.shape[:-1]
+    assert logp0.shape == obs.shape[:-1]
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(muT0, 0, -1)), np.asarray(mu_ref),
+        rtol=2e-4, atol=1e-6)
+    lp_ref = normal_log_prob(mu_ref, std_ref, act)
+    np.testing.assert_allclose(np.asarray(logp0), np.asarray(lp_ref),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_train_iteration_fused_matches_xla():
     """Full train_iteration: fused vs xla update backends, f32 compute —
     identical rollout (same seed), near-identical update numerics."""
