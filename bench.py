@@ -218,11 +218,17 @@ def _phase_split(jax, env, ppo, env_params, ts, t_iter_ms):
             B = s.sim.q.shape[0]
             zeros3 = jnp.zeros((B, 3))
 
-            def inner(p, st):
-                return env._physics_inner_loop_packed(
-                    p, st, st.last_dof_targets, zeros3, zeros3)
+            # ONE dispatch for all `horizon` inner-loop calls: timing a
+            # single call and multiplying would multiply the ~2-3 ms
+            # tunnel dispatch latency by 24 (observed: "80 ms physics")
+            def phys_iter(p, st):
+                def body(c, _):
+                    out = env._physics_inner_loop_packed(
+                        p, c, c.last_dof_targets, zeros3, zeros3)
+                    return c.replace(sim=out[0]), None
+                return jax.lax.scan(body, st, None, length=horizon)[0]
 
-            t_phys = _time_fn(jax.jit(inner), env_params, s) * horizon
+            t_phys = _time_fn(jax.jit(phys_iter), env_params, s)
             phases["physics"] = round(t_phys, 2)
             phases["env_layer"] = round(t_roll - t_phys, 2)
         print(f"phase split (ms/iter): {phases}", file=sys.stderr)

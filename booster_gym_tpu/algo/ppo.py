@@ -114,6 +114,51 @@ class PPO:
         self.mesh = mesh
         self.axis_name = axis_name
 
+    def _flat_optimizer_step(self, grads, params, opt_state, lr):
+        """optax.chain(clip_by_global_norm(c), inject_hyperparams(adam)(lr))
+        computed on ONE raveled vector instead of ~20 small leaves.
+
+        The per-leaf formulation costs ~80 scalar-shaped VPU ops per
+        mini-epoch (~150 us, 3 ms/iteration at 20 epochs); raveled, XLA
+        fuses the whole optimizer into a couple of passes over a [190k]
+        vector.  Replicates optax's exact update formulas and state trees
+        (clip: optax/_src/clipping.py; adam: optax/_src/transform.py
+        scale_by_adam; inject: optax/schedules/_inject.py) — pinned
+        tree-exactly against self.tx.update by tests/test_ppo.py."""
+        import jax.flatten_util as jfu
+
+        clip_state, inj = opt_state
+        adam_state, sb_lr_state = inj.inner_state
+        max_norm = self.cfg["algorithm"].get("grad_norm_clip", 1.0)
+        b1, b2, eps = 0.9, 0.999, 1e-8      # optax.adam defaults (the
+        # reference uses torch Adam defaults = the same constants)
+
+        g, unravel = jfu.ravel_pytree(grads)
+        g_norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+        g = jnp.where(g_norm < max_norm, g, (g / g_norm) * max_norm)
+
+        m, _ = jfu.ravel_pytree(adam_state.mu)
+        v, _ = jfu.ravel_pytree(adam_state.nu)
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * jnp.square(g)
+        # numerics.safe_increment
+        cmax = jnp.iinfo(jnp.int32).max
+        cnt = jnp.where(adam_state.count < cmax, adam_state.count + 1,
+                        adam_state.count)
+        m_hat = m / (1.0 - b1 ** cnt).astype(m.dtype)
+        v_hat = v / (1.0 - b2 ** cnt).astype(v.dtype)
+        upd = (-lr) * (m_hat / (jnp.sqrt(v_hat) + eps))
+
+        p, unravel_p = jfu.ravel_pytree(params)
+        params2 = unravel_p(p + upd)
+        inj_cnt = jnp.where(inj.count < cmax, inj.count + 1, inj.count)
+        opt_state2 = (clip_state, inj._replace(
+            count=inj_cnt,
+            hyperparams={**inj.hyperparams, "learning_rate": lr},
+            inner_state=(adam_state._replace(count=cnt, mu=unravel(m),
+                                             nu=unravel(v)), sb_lr_state)))
+        return params2, opt_state2
+
     def _fused_update(self):
         from booster_gym_tpu.algo.update_kernel import FusedUpdate
 
@@ -236,8 +281,8 @@ class PPO:
             params, opt_state, lr = carry
             fused = fused_once
             last_values = self.est_value(params, obs_last, priv_last)
-            adv_raw, returns, s_a, s_a2 = fused.gae(
-                params, obs_buf, priv_buf, rew_buf, nonterm, timeout_f,
+            adv_raw, returns, s_a, s_a2 = fused.gae_prepared(
+                params, prep["obscG"], rew_buf, nonterm, timeout_f,
                 last_values, self.gamma, self.lam)
             # Bessel-corrected normalization stats (torch .std()); the
             # normalize itself happens inside the gradient kernel
@@ -267,11 +312,8 @@ class PPO:
             kl_mean = kl_const + 0.5 * jnp.sum(
                 st["klsq"] / (N * jnp.square(std[0])))
 
-            inject = opt_state[1]._replace(
-                hyperparams={**opt_state[1].hyperparams, "learning_rate": lr})
-            updates, opt_state2 = self.tx.update(
-                grads, (opt_state[0], inject), params)
-            params2 = optax.apply_updates(params, updates)
+            params2, opt_state2 = self._flat_optimizer_step(
+                grads, params, opt_state, lr)
 
             lr2 = jnp.where(
                 kl_mean > self.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5),

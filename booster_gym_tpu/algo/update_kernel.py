@@ -550,6 +550,18 @@ class FusedUpdate:
         timeout_f in {0,1}); last_values [B].  Returns (adv_raw [T, B],
         returns [T, B], sum_adv, sum_adv2) — sums psum'd under a mesh, so
         mean/std computed from them are the global batch statistics."""
+        T, B = rew.shape
+        obscG = jnp.concatenate(
+            [obs.reshape(T, B, self.num_obs),
+             priv.reshape(T, B, self.num_priv)],
+            axis=-1).astype(self.dt).transpose(0, 2, 1)
+        return self.gae_prepared(params, obscG, rew, nonterm, timeout_f,
+                                 last_values, gamma, lam, n_total=n_total)
+
+    def gae_prepared(self, params, obscG, rew, nonterm, timeout_f,
+                     last_values, gamma, lam, n_total=None):
+        """gae() on a prepare()'d [T, dim, B] observation plane (the hot
+        path hoists that transpose out of the mini-epoch scan)."""
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -558,23 +570,19 @@ class FusedUpdate:
                 functools.partial(self._gae_local, gamma=gamma, lam=lam,
                                   n_total=n_total, psum=True),
                 mesh=self.mesh,
-                in_specs=(P(), b, b, b, b, b, P(self.axis_name)),
+                in_specs=(P(), P(None, None, self.axis_name), b, b, b,
+                          P(self.axis_name)),
                 out_specs=(b, b, P(), P()), check_vma=False)
-            return fn(params, obs, priv, rew, nonterm, timeout_f,
-                      last_values)
-        return self._gae_local(params, obs, priv, rew, nonterm, timeout_f,
+            return fn(params, obscG, rew, nonterm, timeout_f, last_values)
+        return self._gae_local(params, obscG, rew, nonterm, timeout_f,
                                last_values, gamma=gamma, lam=lam,
                                n_total=n_total, psum=False)
 
-    def _gae_local(self, params, obs, priv, rew, nonterm, timeout_f,
+    def _gae_local(self, params, obsc, rew, nonterm, timeout_f,
                    last_values, gamma, lam, n_total, psum):
         T, B = rew.shape
         # batch-on-lanes: [T, dim, B] observation planes and [out, in]
         # weights keep every in-kernel array lane-major (see _gae_kernel)
-        obsc = jnp.concatenate(
-            [obs.reshape(T, B, self.num_obs),
-             priv.reshape(T, B, self.num_priv)],
-            axis=-1).astype(self.dt).transpose(0, 2, 1)
         Bp = -(-B // 128) * 128
         pad = Bp - B
         if pad:
@@ -632,14 +640,19 @@ class FusedUpdate:
         would cost ~150 us x 20).  Leaves keep their leading-batch axes
         ([dim, *lead]) so GSPMD shardings on the env axis survive; the
         local kernel wrapper flattens [dim, *lead] -> [dim, N] for free."""
-        obsc = jnp.concatenate([obs, priv], axis=-1)
-        return {
+        obsc = jnp.concatenate([obs, priv], axis=-1).astype(self.dt)
+        prep = {
             "obsT": jnp.moveaxis(obs.astype(self.dt), -1, 0),
-            "obscT": jnp.moveaxis(obsc.astype(self.dt), -1, 0),
+            "obscT": jnp.moveaxis(obsc, -1, 0),
             "actT": jnp.moveaxis(act, -1, 0),
             "muoldT": jnp.moveaxis(mu_old, -1, 0),
             "old_logp": old_logp,
         }
+        if obsc.ndim == 3:
+            # the GAE kernel walks time-major [T, dim, B] blocks — its
+            # transpose is hoisted here too (one per iteration, not 20)
+            prep["obscG"] = obsc.transpose(0, 2, 1)
+        return prep
 
     def policy_old_logp(self, params, prep):
         """(mu_oldT [na, *lead], old_logp [*lead]) computed through the

@@ -106,3 +106,44 @@ def test_adaptive_lr_bounds(tiny_trainer):
     for _ in range(3):
         ts, metrics = step(env_params, ts)
     assert 1e-5 - 1e-9 <= float(ts.lr) <= 1e-2 + 1e-9
+
+
+def test_flat_optimizer_matches_optax(tiny_trainer):
+    """PPO._flat_optimizer_step == optax.chain(clip_by_global_norm,
+    inject_hyperparams(adam)) tree-exactly: same params, same optimizer
+    state (counts, mu, nu, hyperparams), both below and above the
+    grad-norm clip threshold."""
+    import optax
+
+    ppo, env_params, ts = tiny_trainer
+    params = ts.params
+    opt_state = ts.opt_state
+    lr = jnp.asarray(3e-4, jnp.float32)
+
+    for scale in (1e-3, 1e3):   # far below / far above clip=1.0
+        key = jax.random.PRNGKey(int(scale))
+        leaves, treedef = jax.tree.flatten(params)
+        ks = jax.random.split(key, len(leaves))
+        grads = jax.tree.unflatten(
+            treedef, [scale * jax.random.normal(k, l.shape)
+                      for k, l in zip(ks, leaves)])
+
+        inject = opt_state[1]._replace(
+            hyperparams={**opt_state[1].hyperparams, "learning_rate": lr})
+        updates, ref_state = ppo.tx.update(
+            grads, (opt_state[0], inject), params)
+        ref_params = optax.apply_updates(params, updates)
+
+        got_params, got_state = jax.jit(ppo._flat_optimizer_step)(
+            grads, params, opt_state, lr)
+
+        for a, b in zip(jax.tree.leaves(got_params),
+                        jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        assert (jax.tree.structure(got_state)
+                == jax.tree.structure(ref_state))
+        for a, b in zip(jax.tree.leaves(got_state),
+                        jax.tree.leaves(ref_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
