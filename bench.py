@@ -189,8 +189,11 @@ def run_bench():
 def _phase_split(jax, env, ppo, env_params, ts, t_iter_ms):
     """Per-phase attribution (VERDICT r3 #8): time rollout / update /
     physics-inner-loop sub-programs so round-over-round regressions are
-    attributable from the driver artifact alone.  Diagnostics only — any
-    failure is reported and swallowed."""
+    attributable from the driver artifact alone.  Each sub-timing is a
+    separate dispatch and carries ~2-4 ms of tunnel latency the full
+    iteration amortizes (so rollout+update > iter by that much); the
+    numbers attribute, they don't sum.  Diagnostics only — any failure is
+    reported and swallowed."""
     import time as _time
 
     import jax.numpy as jnp

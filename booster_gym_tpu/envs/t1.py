@@ -16,10 +16,12 @@ Semantics faithfully reproduced (see the per-method citations):
   * 47-dim actor obs / 14-dim privileged obs (envs/t1.py:574-603)
 
 Documented divergences from the reference (the curriculum-transpose and
-Bernoulli-still items were A/B'd on-chip at 1k iterations — both deltas
-within single-seed noise; numbers in IMPLEMENTATION_NOTES.md, raw curves in
-benchmarks/ab_divergence.jsonl, reference-exact toggles `still_mode` /
-`curriculum_transpose_quirk` in the commands config):
+Bernoulli-still items were A/B'd on-chip at 1k iterations x 3 seeds —
+reward-neutral within variance; the reference-exact still mode costs +3.0%
+throughput, hence not the default.  Numbers in IMPLEMENTATION_NOTES.md,
+raw curves in benchmarks/ab_divergence.jsonl (1 seed, round 3) and
+benchmarks/ab_divergence_r4.jsonl (3 seeds); reference-exact toggles
+`still_mode` / `curriculum_transpose_quirk` in the commands config):
   * extras["time_outs"] always reflects the current step (the reference
     leaves it stale when no env resets, envs/t1.py:317);
   * curriculum sampling maps flat index -> (lin, ang) without the axis swap
