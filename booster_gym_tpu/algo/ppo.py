@@ -257,20 +257,11 @@ class PPO:
         timeout_f = timeout_buf.astype(jnp.float32)
         fused_once = (self._fused_update()
                       if self.update_backend == "fused" else None)
-        prep = None
-        if fused_once is not None:
-            prep = fused_once.prepare(obs_buf, priv_buf, act_buf, mu_buf,
-                                      old_logp)
-            # the update's "old policy" must come from the SAME forward
-            # path the gradient kernel uses — in bf16, mixing the rollout's
-            # flax-computed mu/old_logp with the kernel's mu inflates
-            # epoch-0 ratios and floors the KL estimate, which the adaptive
-            # LR then chases (measured: reward@5k 54.6 vs 66.7; see
-            # update_kernel._policy_logp_kernel)
-            muT0, logp0 = fused_once.policy_old_logp(ts.params, prep)
-            prep = {**prep, "muoldT": muT0, "old_logp": logp0}
+        prep = (fused_once.prepare(obs_buf, priv_buf, act_buf, mu_buf,
+                                   old_logp)
+                if fused_once is not None else None)
 
-        def epoch_fused(carry, _):
+        def epoch_fused(carry, epoch_x):
             """Mini-epoch through the fused Pallas kernels (round 4 layout):
             one kernel walks the horizon in reverse computing critic values
             + timeout bootstrap + GAE + advantage sums; the gradient kernel
@@ -278,7 +269,8 @@ class PPO:
             metric sums (update_kernel.py) — per-epoch XLA work shrinks to
             Adam, the KL-adaptive LR, and a handful of scalars.  Numerics
             identical to the `epoch` branch below (tests compare them)."""
-            params, opt_state, lr = carry
+            (params, opt_state, lr, muoldT_c, old_logp_c) = carry
+            epoch_idx = epoch_x
             fused = fused_once
             last_values = self.est_value(params, obs_last, priv_last)
             adv_raw, returns, s_a, s_a2 = fused.gae_prepared(
@@ -289,8 +281,21 @@ class PPO:
             mean = s_a / N
             var = (s_a2 - N * mean * mean) / (N - 1)
             rstd = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
-            grads, st = fused.grads_stats_prepared(
-                params, prep, adv_raw, returns, mean, rstd)
+            # the update's "old policy" is the gradient kernel's OWN
+            # epoch-0 forward, captured here and carried: any separately
+            # compiled forward (flax rollout, a dedicated pre-pass) can
+            # disagree by bf16 rounding, which dominates importance
+            # ratios and the KL estimate once the learned sigma is small
+            # (observed: kl 7.2 vs 0.15 on standup; reward@5k 54.6 vs
+            # 66.7 on T1 flat from the same mechanism via the LR path)
+            self_old = (epoch_idx == 0).astype(jnp.float32)
+            grads, st, mu_out, logp_out = fused.grads_stats_prepared(
+                params, {**prep, "muoldT": muoldT_c,
+                         "old_logp": old_logp_c},
+                adv_raw, returns, mean, rstd, self_old=self_old)
+            is0 = epoch_idx == 0
+            muoldT_c = jnp.where(is0, mu_out, muoldT_c)
+            old_logp_c = jnp.where(is0, logp_out, old_logp_c)
             # the entropy bonus depends only on logstd — closed form
             grads["params"]["logstd"] = (
                 grads["params"]["logstd"] + self.entropy_coef)
@@ -319,7 +324,7 @@ class PPO:
                 kl_mean > self.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5),
                 jnp.where(kl_mean < self.desired_kl / 2.0,
                           jnp.minimum(1e-2, lr * 1.5), lr))
-            return (params2, opt_state2, lr2), (
+            return (params2, opt_state2, lr2, muoldT_c, old_logp_c), (
                 value_loss, actor_loss, bound_loss, entropy, kl_mean)
 
         def epoch(carry, _):
@@ -366,9 +371,15 @@ class PPO:
             return (params2, opt_state2, lr2), (
                 value_loss, actor_loss, bound_loss, entropy, kl_mean)
 
-        body = epoch_fused if self.update_backend == "fused" else epoch
+        if self.update_backend == "fused":
+            carry0 = (ts.params, ts.opt_state, ts.lr,
+                      prep["muoldT"], prep["old_logp"])
+            (params, opt_state2, lr2, _, _), stats = jax.lax.scan(
+                epoch_fused, carry0, jnp.arange(self.mini_epochs),
+                unroll=self.update_scan_unroll)
+            return (params, opt_state2, lr2), stats
         return jax.lax.scan(
-            body, (ts.params, ts.opt_state, ts.lr), None,
+            epoch, (ts.params, ts.opt_state, ts.lr), None,
             length=self.mini_epochs, unroll=self.update_scan_unroll)
 
     def train_iterations(self, env_params, ts, n):

@@ -397,7 +397,7 @@ def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
     dcW = out[2 * nA:2 * nA + nC]
     dcb = out[2 * nA + nC:2 * nA + 2 * nC]
     (dlogstd_ref, vl_ref, al_ref, bhi_ref, blo_ref,
-     klsq_ref) = out[2 * nA + 2 * nC:]
+     klsq_ref, mu_ref, logp_ref) = out[2 * nA + 2 * nC:]
 
     i = pl.program_id(0)
     first = i == 0
@@ -411,7 +411,6 @@ def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
 
     adv = (scal_ref[0:1, :] - norm_ref[0, 0]) * norm_ref[0, 1]
     ret = scal_ref[1:2, :]
-    old_logp = scal_ref[2:3, :]
     act = act_ref[...]                                  # [num_act, tile]
     logstd = logstd_ref[...]                            # [num_act, 1]
     var = jnp.exp(2.0 * logstd)
@@ -419,6 +418,21 @@ def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
     diff = act - mu
     lp = -0.5 * diff * diff / var - logstd - 0.5 * _LOG2PI
     logp = jnp.sum(lp, axis=0, keepdims=True)           # [1, tile]
+    # self_old (norm[0,2]=1, the first mini-epoch): the OLD policy's
+    # logp/mu are THIS kernel's own forward at these (rollout) params —
+    # exp(logp-logp)=1 and mu-mu=0 bitwise, at ANY geometry.  Two
+    # separately compiled forwards (flax rollout, or even a dedicated
+    # pre-pass kernel) can disagree by bf16 rounding, and when the
+    # learned sigma is small that noise dominates the importance ratios
+    # and the KL estimate (observed: kl 7.2 vs 0.15 on the standup task,
+    # sigma~0.02, 420-dim obs).  The caller carries these outputs as the
+    # old policy for the remaining mini-epochs.
+    self_old = norm_ref[0, 2]
+    old_logp = (self_old * logp
+                + (1.0 - self_old) * scal_ref[2:3, :])
+    muold = self_old * mu + (1.0 - self_old) * muold_ref[...]
+    mu_ref[...] = mu
+    logp_ref[...] = logp
     ratio = jnp.exp(logp - old_logp)
     lo, hi = 1.0 - clip_ratio, 1.0 + clip_ratio
     ratio_c = jnp.clip(ratio, lo, hi)
@@ -452,7 +466,7 @@ def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
     al_ref[...] += jnp.sum(jnp.maximum(surr, surr_c) * mask).reshape(1, 1)
     bhi_ref[...] += jnp.sum(jnp.square(b_hi) * mask).reshape(1, 1)
     blo_ref[...] += jnp.sum(jnp.square(b_lo) * mask).reshape(1, 1)
-    dmu_old = mu - muold_ref[...]
+    dmu_old = mu - muold
     klsq_ref[...] += jnp.sum(jnp.square(dmu_old) * mask, axis=1,
                              keepdims=True)
 
@@ -731,14 +745,22 @@ class FusedUpdate:
             n_total=n_total)
 
     def grads_stats_prepared(self, params, prep, adv_raw, returns,
-                             adv_mean, adv_rstd, n_total=None):
+                             adv_mean, adv_rstd, self_old=0.0, n_total=None):
         """grads_stats on prepare()'d inputs (the hot path: ppo.py calls
-        prepare once per iteration, this 20x)."""
+        prepare once per iteration, this 20x).  self_old=1.0 marks the
+        FIRST mini-epoch: the kernel substitutes its own forward for the
+        old policy (bitwise ratio=1 / KL=0) and the caller carries the
+        returned mu/logp as the old policy for later epochs — see the
+        kernel docstring for why no separately compiled forward can be
+        trusted here."""
         lead = prep["old_logp"].shape
         n_rows = int(np.prod(lead))
         if n_total is None:
             n_total = n_rows
-        norm = jnp.stack([adv_mean, adv_rstd]).reshape(1, 2)
+        norm = jnp.stack([jnp.asarray(adv_mean, jnp.float32),
+                          jnp.asarray(adv_rstd, jnp.float32),
+                          jnp.asarray(self_old, jnp.float32),
+                          jnp.float32(0.0)]).reshape(1, 4)
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -751,7 +773,7 @@ class FusedUpdate:
                 in_specs=(P(), {k: (lspec if k == "old_logp" else tspec)
                                 for k in prep},
                           lspec, lspec, P()),
-                out_specs=(P(), P()), check_vma=False)
+                out_specs=(P(), P(), tspec, lspec), check_vma=False)
             return fn(params, prep, adv_raw, returns, norm)
         return self._grads_stats_local(
             params, prep, adv_raw, returns, norm, n_total=n_total,
@@ -805,7 +827,9 @@ class FusedUpdate:
             + [jax.ShapeDtypeStruct(b.shape, f32) for b in cbT]
             + [jax.ShapeDtypeStruct(logstd.shape, f32)]
             + [jax.ShapeDtypeStruct((1, 1), f32)] * 4
-            + [jax.ShapeDtypeStruct((self.num_act, 1), f32)])
+            + [jax.ShapeDtypeStruct((self.num_act, 1), f32),
+               jax.ShapeDtypeStruct((self.num_act, grid * tile), f32),
+               jax.ShapeDtypeStruct((1, grid * tile), f32)])
         out_specs = (
             [_fixed_spec(w.shape) for w in aW]
             + [_fixed_spec(b.shape) for b in abT]
@@ -813,13 +837,14 @@ class FusedUpdate:
             + [_fixed_spec(b.shape) for b in cbT]
             + [_fixed_spec(logstd.shape)]
             + [_fixed_spec((1, 1))] * 4
-            + [_fixed_spec((self.num_act, 1))])
+            + [_fixed_spec((self.num_act, 1)), col_spec(self.num_act),
+               col_spec(1)])
 
         outs = pl.pallas_call(
             kern,
             grid=(grid,),
             in_specs=[col_spec(4),
-                      _fixed_spec((1, 2)),
+                      _fixed_spec((1, 4)),
                       col_spec(self.num_act),
                       col_spec(self.num_obs),
                       col_spec(obscT.shape[0]),
@@ -844,7 +869,8 @@ class FusedUpdate:
         dab = outs[nA:2 * nA]
         dcW = outs[2 * nA:2 * nA + nC]
         dcb = outs[2 * nA + nC:2 * nA + 2 * nC]
-        dlogstd, vl, al, bhi, blo, klsq = outs[2 * nA + 2 * nC:]
+        (dlogstd, vl, al, bhi, blo, klsq, mu_out,
+         logp_out) = outs[2 * nA + 2 * nC:]
         if psum:
             (daW, dab, dcW, dcb, dlogstd, vl, al, bhi, blo, klsq) = (
                 jax.lax.psum(
@@ -861,7 +887,11 @@ class FusedUpdate:
         }}
         stats = {"vl": vl[0, 0], "al": al[0, 0], "bhi": bhi[0, 0],
                  "blo": blo[0, 0], "klsq": klsq[:, 0]}
-        return grads, stats
+        lead = prep["old_logp"].shape
+        n = int(np.prod(lead))
+        mu_out = mu_out[:, :n].reshape((self.num_act,) + lead)
+        logp_out = logp_out[0, :n].reshape(lead)
+        return grads, stats, mu_out, logp_out
 
     # -- gradient pass -------------------------------------------------------
     def grads(self, params, obs, priv, act, adv, returns, old_logp,

@@ -204,8 +204,16 @@ def test_grads_stats_matches_grads_and_reference_metrics():
         params, obs, priv, act, adv_n, ret, old_logp)
 
     mu_old, std_old = net.apply(params, obs, method=ActorCritic.act)
-    g, st = jax.jit(fused.grads_stats)(
+    g, st, mu_out, logp_out = jax.jit(fused.grads_stats)(
         params, obs, priv, act, adv, ret, old_logp, mu_old, mean, rstd)
+    # the kernel's forward comes back for the self-consistent old-policy
+    # carry: it must equal the flax forward (f32 exactness anchor)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(mu_out, 0, -1)), np.asarray(mu_old),
+        rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logp_out),
+                               np.asarray(normal_log_prob(mu_old, std_old, act)),
+                               rtol=2e-4, atol=1e-5)
     # grads_stats contracts dW over the lane (sample) axis, grads over the
     # row axis: different f32 summation order, ~1e-7 reassociation noise
     _assert_tree_close(g, g_ref, rtol=2e-4, atol=5e-7)
