@@ -669,10 +669,13 @@ class FusedUpdate:
         return prep
 
     def policy_old_logp(self, params, prep):
-        """(mu_oldT [na, *lead], old_logp [*lead]) computed through the
-        gradient kernel's own forward path at the CURRENT (= rollout)
-        params — see _policy_logp_kernel for why the rollout's flax
-        values must not be used as the update's old policy in bf16."""
+        """DIAGNOSTIC: (mu_oldT [na, *lead], old_logp [*lead]) through a
+        standalone copy of the gradient kernel's forward.  The hot path no
+        longer uses this — the gradient kernel SELF-captures its epoch-0
+        forward as the old policy (see _grads_stats_kernel), because even
+        this dedicated pre-pass can disagree with the gradient kernel by
+        bf16 rounding across two Mosaic compilations (observed on the
+        standup geometry).  Kept for numerics debugging and its test."""
         lead = prep["old_logp"].shape
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
