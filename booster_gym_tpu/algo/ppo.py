@@ -23,6 +23,7 @@ Numerics matched to the reference:
 """
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -102,9 +103,16 @@ class PPO:
             env.num_actions, env.num_obs, env.num_privileged_obs,
             compute_dtype=self.compute_dtype,
             init_logstd=acfg.get("init_logstd", -2.0))
+        # single source of truth for the optimizer hyperparameters: both
+        # self.tx and the flat-vector step below are built from these
+        # (the reference uses torch Adam defaults, utils/runner.py:33)
+        self.grad_norm_clip = acfg.get("grad_norm_clip", 1.0)
+        self.adam_b1, self.adam_b2, self.adam_eps = 0.9, 0.999, 1e-8
         self.tx = optax.chain(
-            optax.clip_by_global_norm(acfg.get("grad_norm_clip", 1.0)),
-            optax.inject_hyperparams(optax.adam)(learning_rate=self.base_lr),
+            optax.clip_by_global_norm(self.grad_norm_clip),
+            optax.inject_hyperparams(optax.adam)(
+                learning_rate=self.base_lr, b1=self.adam_b1,
+                b2=self.adam_b2, eps=self.adam_eps),
         )
 
     def set_mesh(self, mesh, axis_name="dp"):
@@ -114,6 +122,28 @@ class PPO:
         self.mesh = mesh
         self.axis_name = axis_name
 
+    def _flat_adam(self, g, p, m, v, cnt, lr):
+        """clip_by_global_norm + Adam on raveled [n_params] vectors — the
+        shared core of _flat_optimizer_step and the fused epoch scan's
+        flat carry.  Replicates optax's exact update formulas (clip:
+        optax/_src/clipping.py; adam: optax/_src/transform.py
+        scale_by_adam; safe_increment: optax numerics) using the SAME
+        hyperparameter attributes self.tx is built from — pinned
+        tree-exactly against self.tx.update by tests/test_ppo.py."""
+        b1, b2, eps = self.adam_b1, self.adam_b2, self.adam_eps
+        g_norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+        g = jnp.where(g_norm < self.grad_norm_clip, g,
+                      (g / g_norm) * self.grad_norm_clip)
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * jnp.square(g)
+        # numerics.safe_increment
+        cmax = jnp.iinfo(jnp.int32).max
+        cnt = jnp.where(cnt < cmax, cnt + 1, cnt)
+        m_hat = m / (1.0 - b1 ** cnt).astype(m.dtype)
+        v_hat = v / (1.0 - b2 ** cnt).astype(v.dtype)
+        p2 = p + (-lr) * (m_hat / (jnp.sqrt(v_hat) + eps))
+        return p2, m, v, cnt
+
     def _flat_optimizer_step(self, grads, params, opt_state, lr):
         """optax.chain(clip_by_global_norm(c), inject_hyperparams(adam)(lr))
         computed on ONE raveled vector instead of ~20 small leaves.
@@ -121,36 +151,21 @@ class PPO:
         The per-leaf formulation costs ~80 scalar-shaped VPU ops per
         mini-epoch (~150 us, 3 ms/iteration at 20 epochs); raveled, XLA
         fuses the whole optimizer into a couple of passes over a [190k]
-        vector.  Replicates optax's exact update formulas and state trees
-        (clip: optax/_src/clipping.py; adam: optax/_src/transform.py
-        scale_by_adam; inject: optax/schedules/_inject.py) — pinned
-        tree-exactly against self.tx.update by tests/test_ppo.py."""
+        vector.  The hot path (fused epoch scan) keeps p/m/v raveled in
+        the scan carry and calls _flat_adam directly; this tree-in/tree-out
+        wrapper serves the standalone callers and the optax-parity test."""
         import jax.flatten_util as jfu
 
         clip_state, inj = opt_state
         adam_state, sb_lr_state = inj.inner_state
-        max_norm = self.cfg["algorithm"].get("grad_norm_clip", 1.0)
-        b1, b2, eps = 0.9, 0.999, 1e-8      # optax.adam defaults (the
-        # reference uses torch Adam defaults = the same constants)
 
         g, unravel = jfu.ravel_pytree(grads)
-        g_norm = jnp.sqrt(jnp.sum(jnp.square(g)))
-        g = jnp.where(g_norm < max_norm, g, (g / g_norm) * max_norm)
-
         m, _ = jfu.ravel_pytree(adam_state.mu)
         v, _ = jfu.ravel_pytree(adam_state.nu)
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * jnp.square(g)
-        # numerics.safe_increment
-        cmax = jnp.iinfo(jnp.int32).max
-        cnt = jnp.where(adam_state.count < cmax, adam_state.count + 1,
-                        adam_state.count)
-        m_hat = m / (1.0 - b1 ** cnt).astype(m.dtype)
-        v_hat = v / (1.0 - b2 ** cnt).astype(v.dtype)
-        upd = (-lr) * (m_hat / (jnp.sqrt(v_hat) + eps))
-
         p, unravel_p = jfu.ravel_pytree(params)
-        params2 = unravel_p(p + upd)
+        p2, m, v, cnt = self._flat_adam(g, p, m, v, adam_state.count, lr)
+        params2 = unravel_p(p2)
+        cmax = jnp.iinfo(jnp.int32).max
         inj_cnt = jnp.where(inj.count < cmax, inj.count + 1, inj.count)
         opt_state2 = (clip_state, inj._replace(
             count=inj_cnt,
@@ -258,44 +273,48 @@ class PPO:
         fused_once = (self._fused_update()
                       if self.update_backend == "fused" else None)
         prep = (fused_once.prepare(obs_buf, priv_buf, act_buf, mu_buf,
-                                   old_logp)
+                                   old_logp, obs_last=obs_last,
+                                   priv_last=priv_last)
                 if fused_once is not None else None)
+        std_old = std_buf[0, 0]                         # state-independent
 
-        def epoch_fused(carry, epoch_x):
-            """Mini-epoch through the fused Pallas kernels (round 4 layout):
-            one kernel walks the horizon in reverse computing critic values
-            + timeout bootstrap + GAE + advantage sums; the gradient kernel
+        def epoch_fused(carry, muoldT_c, old_logp_c, self_old):
+            """Mini-epoch through the fused Pallas kernels (round 4/5
+            layout): one kernel walks the horizon (+ the bootstrap step)
+            in reverse computing critic values incl. last_values + timeout
+            bootstrap + GAE + advantage sums; the gradient kernel
             normalizes advantages in-kernel and accumulates the reference
             metric sums (update_kernel.py) — per-epoch XLA work shrinks to
-            Adam, the KL-adaptive LR, and a handful of scalars.  Numerics
-            identical to the `epoch` branch below (tests compare them)."""
-            (params, opt_state, lr, muoldT_c, old_logp_c) = carry
-            epoch_idx = epoch_x
+            the flat-vector Adam, the KL-adaptive LR, and a handful of
+            scalars.  params/opt-state ride the scan carry as RAVELED
+            vectors (p/m/v): the tree forms exist only transiently inside
+            the epoch, so the scan boundary moves 3 flat leaves instead of
+            ~60 small ones.  Numerics identical to the `epoch` branch
+            below (tests compare them)."""
+            p, m, v, cnt, lr, _lr_used = carry
+            params = unravel_p(p)
             fused = fused_once
-            last_values = self.est_value(params, obs_last, priv_last)
             adv_raw, returns, s_a, s_a2 = fused.gae_prepared(
                 params, prep["obscG"], rew_buf, nonterm, timeout_f,
-                last_values, self.gamma, self.lam)
+                self.gamma, self.lam)
             # Bessel-corrected normalization stats (torch .std()); the
             # normalize itself happens inside the gradient kernel
             mean = s_a / N
             var = (s_a2 - N * mean * mean) / (N - 1)
             rstd = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
             # the update's "old policy" is the gradient kernel's OWN
-            # epoch-0 forward, captured here and carried: any separately
-            # compiled forward (flax rollout, a dedicated pre-pass) can
-            # disagree by bf16 rounding, which dominates importance
-            # ratios and the KL estimate once the learned sigma is small
-            # (observed: kl 7.2 vs 0.15 on standup; reward@5k 54.6 vs
-            # 66.7 on T1 flat from the same mechanism via the LR path)
-            self_old = (epoch_idx == 0).astype(jnp.float32)
+            # epoch-0 forward, captured by the caller (epoch 0 runs peeled
+            # out of the scan) and closed over for epochs 1+: any
+            # separately compiled forward (flax rollout, a dedicated
+            # pre-pass) can disagree by bf16 rounding, which dominates
+            # importance ratios and the KL estimate once the learned sigma
+            # is small (observed: kl 7.2 vs 0.15 on standup; reward@5k
+            # 54.6 vs 66.7 on T1 flat from the same mechanism via the LR
+            # path)
             grads, st, mu_out, logp_out = fused.grads_stats_prepared(
                 params, {**prep, "muoldT": muoldT_c,
                          "old_logp": old_logp_c},
                 adv_raw, returns, mean, rstd, self_old=self_old)
-            is0 = epoch_idx == 0
-            muoldT_c = jnp.where(is0, mu_out, muoldT_c)
-            old_logp_c = jnp.where(is0, logp_out, old_logp_c)
             # the entropy bonus depends only on logstd — closed form
             grads["params"]["logstd"] = (
                 grads["params"]["logstd"] + self.entropy_coef)
@@ -310,22 +329,22 @@ class PPO:
             entropy = jnp.sum(0.5 + 0.5 * jnp.log(2.0 * jnp.pi) + logstd)
             # analytic KL vs the rollout policy (utils/runner.py:168-173):
             # per-dim constants + the kernel's sum of (mu_new - mu_old)^2
-            std_old = std_buf[0, 0]                     # state-independent
             kl_const = jnp.sum(
                 jnp.log(std[0] / std_old)
                 + 0.5 * jnp.square(std_old) / jnp.square(std[0]) - 0.5)
             kl_mean = kl_const + 0.5 * jnp.sum(
                 st["klsq"] / (N * jnp.square(std[0])))
 
-            params2, opt_state2 = self._flat_optimizer_step(
-                grads, params, opt_state, lr)
+            g, _ = jax.flatten_util.ravel_pytree(grads)
+            p2, m2, v2, cnt2 = self._flat_adam(g, p, m, v, cnt, lr)
 
             lr2 = jnp.where(
                 kl_mean > self.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5),
                 jnp.where(kl_mean < self.desired_kl / 2.0,
                           jnp.minimum(1e-2, lr * 1.5), lr))
-            return (params2, opt_state2, lr2, muoldT_c, old_logp_c), (
-                value_loss, actor_loss, bound_loss, entropy, kl_mean)
+            return (p2, m2, v2, cnt2, lr2, lr), (
+                value_loss, actor_loss, bound_loss, entropy,
+                kl_mean), mu_out, logp_out
 
         def epoch(carry, _):
             params, opt_state, lr = carry
@@ -372,12 +391,43 @@ class PPO:
                 value_loss, actor_loss, bound_loss, entropy, kl_mean)
 
         if self.update_backend == "fused":
-            carry0 = (ts.params, ts.opt_state, ts.lr,
-                      prep["muoldT"], prep["old_logp"])
-            (params, opt_state2, lr2, _, _), stats = jax.lax.scan(
-                epoch_fused, carry0, jnp.arange(self.mini_epochs),
+            clip_state, inj = ts.opt_state
+            adam_state, sb_lr_state = inj.inner_state
+            p0, unravel_p = jax.flatten_util.ravel_pytree(ts.params)
+            m0, _ = jax.flatten_util.ravel_pytree(adam_state.mu)
+            v0, _ = jax.flatten_util.ravel_pytree(adam_state.nu)
+
+            # epoch 0 runs PEELED out of the scan: its kernel forward
+            # becomes the old policy for epochs 1+ as closed-over
+            # constants, so the scan carry drops the [num_act, T*B] mu
+            # plane and the per-epoch where() copies entirely
+            carry = (p0, m0, v0, adam_state.count, ts.lr, ts.lr)
+            carry, stats0, mu_old0, old_logp0 = epoch_fused(
+                carry, prep["muoldT"], prep["old_logp"], self_old=1.0)
+
+            def scan_body(c, _):
+                c2, stats, _, _ = epoch_fused(c, mu_old0, old_logp0,
+                                              self_old=0.0)
+                return c2, stats
+
+            carry, stats_rest = jax.lax.scan(
+                scan_body, carry, None, length=self.mini_epochs - 1,
                 unroll=self.update_scan_unroll)
-            return (params, opt_state2, lr2), stats
+            p, m, v, cnt, lr2, lr_used = carry
+            stats = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                stats0, stats_rest)
+
+            # re-tree the raveled carry once (mirrors _flat_optimizer_step's
+            # state bookkeeping; inject count tracks the adam count — both
+            # increment once per mini-epoch from equal initial values)
+            opt_state2 = (clip_state, inj._replace(
+                count=cnt,
+                hyperparams={**inj.hyperparams, "learning_rate": lr_used},
+                inner_state=(adam_state._replace(
+                    count=cnt, mu=unravel_p(m), nu=unravel_p(v)),
+                    sb_lr_state)))
+            return (unravel_p(p), opt_state2, lr2), stats
         return jax.lax.scan(
             epoch, (ts.params, ts.opt_state, ts.lr), None,
             length=self.mini_epochs, unroll=self.update_scan_unroll)

@@ -214,20 +214,26 @@ def _fixed_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _gae_kernel(obsc_ref, rew_ref, nonterm_ref, timeout_ref, lastv_ref,
+def _gae_kernel(obsc_ref, rew_ref, nonterm_ref, timeout_ref,
                 *wrefs_and_out, n_layers, T, Bp, n_valid_b, gamma, lam, dt,
                 interp):
-    """One grid step = one TIME step, walked in reverse (t = T-1 first):
-    critic forward for values_t, timeout bootstrap, and the GAE recurrence
+    """One grid step = one TIME step, walked in reverse over T+1 steps:
+    step 0 is the BOOTSTRAP step (the last observation — the critic forward
+    that was previously a separate per-epoch flax est_value in ppo.py, ~20
+    extra XLA ops per iteration), steps 1..T are the rollout steps t = T-i.
+    Critic forward for values_t, timeout bootstrap, and the GAE recurrence
     ride along in VMEM carries — values never touch HBM and the reverse
     scan costs a handful of VPU ops per step (reference recurrence:
-    utils/utils.py:33-44; timeout bootstrap utils/runner.py:135).
+    utils/utils.py:33-44; timeout bootstrap utils/runner.py:135; the
+    bootstrap value is the CURRENT critic at the last obs,
+    utils/runner.py:133-135 recomputes it each mini-epoch — so does this).
 
     The critic runs TRANSPOSED (batch on the lane axis): observations
-    arrive as [dim, Bp] planes and every layer computes W_T @ x with
-    [out, in] weights, so values are born [1, Bp] — the same orientation
-    as the GAE planes.  The row-major variant paid a [Bp,1]->[1,Bp]
-    relayout per step (~25 us x T on v5e) just to meet the recurrence.
+    arrive as [dim, Bp] planes (T+1 of them, the last row = last obs) and
+    every layer computes W_T @ x with [out, in] weights, so values are born
+    [1, Bp] — the same orientation as the GAE planes.  The row-major
+    variant paid a [Bp,1]->[1,Bp] relayout per step (~25 us x T on v5e)
+    just to meet the recurrence.
 
     Outputs: raw advantages [T,1,Bp], returns [T,1,Bp], and the masked
     sums (sum_adv, sum_adv^2) as (1, 1) refs for the caller's Bessel
@@ -239,7 +245,7 @@ def _gae_kernel(obsc_ref, rew_ref, nonterm_ref, timeout_ref, lastv_ref,
     nextv_ref, carry_ref = wrefs_and_out[2 * n_layers + 4:]
 
     i = pl.program_id(0)
-    first = i == 0            # t = T-1 (reversed index maps)
+    first = i == 0            # the bootstrap step (obs_last)
 
     x = obsc_ref[0].astype(dt)               # [dim, Bp]
     for li in range(n_layers):
@@ -250,29 +256,33 @@ def _gae_kernel(obsc_ref, rew_ref, nonterm_ref, timeout_ref, lastv_ref,
 
     @pl.when(first)
     def _init():
-        nextv_ref[...] = lastv_ref[...]
+        nextv_ref[...] = values               # bootstrap last_values
         carry_ref[...] = jnp.zeros_like(carry_ref)
         sa_ref[...] = jnp.zeros_like(sa_ref)
         sa2_ref[...] = jnp.zeros_like(sa2_ref)
 
-    # the [T, B] per-step planes arrive as [T, 1, B] so Mosaic's block
-    # constraint (trailing dims divisible by (8, 128) or whole) is met;
-    # ref[0] yields the (1, Bp) plane
-    t_f = timeout_ref[0]                                  # {0,1} f32
-    rwd = t_f * values + (1.0 - t_f) * rew_ref[0]
-    nt = nonterm_ref[0]
-    delta = rwd + gamma * nt * nextv_ref[...] - values
-    adv = delta + gamma * lam * nt * carry_ref[...]
-    carry_ref[...] = adv
-    nextv_ref[...] = values
-    adv_ref[0] = adv
-    ret_ref[0] = values + adv
+    @pl.when(jnp.logical_not(first))
+    def _gae_step():
+        # the [T, B] per-step planes arrive as [T, 1, B] so Mosaic's block
+        # constraint (trailing dims divisible by (8, 128) or whole) is met;
+        # ref[0] yields the (1, Bp) plane.  Their index map parks step 0 on
+        # row T-1 (a dummy read; nothing is written there until step 1
+        # rewrites the same block).
+        t_f = timeout_ref[0]                                  # {0,1} f32
+        rwd = t_f * values + (1.0 - t_f) * rew_ref[0]
+        nt = nonterm_ref[0]
+        delta = rwd + gamma * nt * nextv_ref[...] - values
+        adv = delta + gamma * lam * nt * carry_ref[...]
+        carry_ref[...] = adv
+        nextv_ref[...] = values
+        adv_ref[0] = adv
+        ret_ref[0] = values + adv
 
-    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
-            < n_valid_b).astype(jnp.float32)
-    am = adv * mask
-    sa_ref[...] += jnp.sum(am).reshape(1, 1)
-    sa2_ref[...] += jnp.sum(am * adv).reshape(1, 1)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
+                < n_valid_b).astype(jnp.float32)
+        am = adv * mask
+        sa_ref[...] += jnp.sum(am).reshape(1, 1)
+        sa2_ref[...] += jnp.sum(am * adv).reshape(1, 1)
 
 
 def _dot_T(a, b, dims, dt, interp):
@@ -556,26 +566,34 @@ class FusedUpdate:
         return val[:n, 0].reshape(lead)
 
     # -- fused values + GAE + advantage-stat pass ----------------------------
-    def gae(self, params, obs, priv, rew, nonterm, timeout_f, last_values,
-            gamma, lam, n_total=None):
-        """Critic values + timeout bootstrap + GAE recurrence + masked
-        advantage sums, one kernel (one reverse walk over the horizon).
+    def gae(self, params, obs, priv, obs_last, priv_last, rew, nonterm,
+            timeout_f, gamma, lam, n_total=None):
+        """Critic values (incl. the bootstrap value at the LAST observation,
+        computed in-kernel) + timeout bootstrap + GAE recurrence + masked
+        advantage sums, one kernel (one reverse walk over horizon+1 steps).
         rew/nonterm/timeout_f are [T, B] f32 (nonterm = 1 - (done|timeout),
-        timeout_f in {0,1}); last_values [B].  Returns (adv_raw [T, B],
-        returns [T, B], sum_adv, sum_adv2) — sums psum'd under a mesh, so
-        mean/std computed from them are the global batch statistics."""
+        timeout_f in {0,1}); obs_last/priv_last [B, dim].  Returns
+        (adv_raw [T, B], returns [T, B], sum_adv, sum_adv2) — sums psum'd
+        under a mesh, so mean/std computed from them are the global batch
+        statistics."""
         T, B = rew.shape
-        obscG = jnp.concatenate(
+        obsc = jnp.concatenate(
             [obs.reshape(T, B, self.num_obs),
              priv.reshape(T, B, self.num_priv)],
-            axis=-1).astype(self.dt).transpose(0, 2, 1)
+            axis=-1).astype(self.dt)
+        obsc_last = jnp.concatenate(
+            [obs_last.reshape(1, B, self.num_obs),
+             priv_last.reshape(1, B, self.num_priv)],
+            axis=-1).astype(self.dt)
+        obscG = jnp.concatenate([obsc, obsc_last], axis=0).transpose(0, 2, 1)
         return self.gae_prepared(params, obscG, rew, nonterm, timeout_f,
-                                 last_values, gamma, lam, n_total=n_total)
+                                 gamma, lam, n_total=n_total)
 
     def gae_prepared(self, params, obscG, rew, nonterm, timeout_f,
-                     last_values, gamma, lam, n_total=None):
-        """gae() on a prepare()'d [T, dim, B] observation plane (the hot
-        path hoists that transpose out of the mini-epoch scan)."""
+                     gamma, lam, n_total=None):
+        """gae() on a prepare()'d [T+1, dim, B] observation plane (row T =
+        the last observation; the hot path hoists that concat+transpose out
+        of the mini-epoch scan)."""
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -584,18 +602,17 @@ class FusedUpdate:
                 functools.partial(self._gae_local, gamma=gamma, lam=lam,
                                   n_total=n_total, psum=True),
                 mesh=self.mesh,
-                in_specs=(P(), P(None, None, self.axis_name), b, b, b,
-                          P(self.axis_name)),
+                in_specs=(P(), P(None, None, self.axis_name), b, b, b),
                 out_specs=(b, b, P(), P()), check_vma=False)
-            return fn(params, obscG, rew, nonterm, timeout_f, last_values)
+            return fn(params, obscG, rew, nonterm, timeout_f)
         return self._gae_local(params, obscG, rew, nonterm, timeout_f,
-                               last_values, gamma=gamma, lam=lam,
+                               gamma=gamma, lam=lam,
                                n_total=n_total, psum=False)
 
     def _gae_local(self, params, obsc, rew, nonterm, timeout_f,
-                   last_values, gamma, lam, n_total, psum):
+                   gamma, lam, n_total, psum):
         T, B = rew.shape
-        # batch-on-lanes: [T, dim, B] observation planes and [out, in]
+        # batch-on-lanes: [T+1, dim, B] observation planes and [out, in]
         # weights keep every in-kernel array lane-major (see _gae_kernel)
         Bp = -(-B // 128) * 128
         pad = Bp - B
@@ -604,7 +621,6 @@ class FusedUpdate:
             rew, nonterm, timeout_f = (
                 jnp.pad(x, ((0, 0), (0, pad)))
                 for x in (rew, nonterm, timeout_f))
-            last_values = jnp.pad(last_values, (0, pad))
         cW, cb = self._layers(params, "critic")
         cW = [w.T for w in cW]                 # [out, in]
         cb = [b.reshape(-1, 1) for b in cb]    # [out, 1]
@@ -613,17 +629,22 @@ class FusedUpdate:
             gamma=float(gamma), lam=float(lam), dt=self.dt,
             interp=self.interpret)
 
-        rev3 = lambda i: (T - 1 - i, 0, 0)        # noqa: E731
+        # grid = T+1 reverse walk: step 0 reads obs row T (the bootstrap /
+        # last observation), step i >= 1 reads rollout row T-i
+        rev_obs = lambda i: (T - i, 0, 0)         # noqa: E731
+        # the GAE planes have only T rows; step 0 parks on row T-1 (dummy
+        # read, no write — see the kernel docstring)
+        rev3 = lambda i: (T - jnp.maximum(i, 1), 0, 0)   # noqa: E731
         # [T, B] planes ride as [T, 1, Bp]: Mosaic blocks must have their
         # trailing two dims (8,128)-divisible or whole — (1, 1, Bp) is
         row3 = pl.BlockSpec((1, 1, Bp), rev3, memory_space=pltpu.VMEM)
         f32 = jnp.float32
         adv, ret, sa, sa2 = pl.pallas_call(
             kern,
-            grid=(T,),
-            in_specs=[pl.BlockSpec((1, obsc.shape[1], Bp), rev3,
+            grid=(T + 1,),
+            in_specs=[pl.BlockSpec((1, obsc.shape[1], Bp), rev_obs,
                                    memory_space=pltpu.VMEM),
-                      row3, row3, row3, _fixed_spec((1, Bp))]
+                      row3, row3, row3]
             + [_fixed_spec(w.shape) for w in cW]
             + [_fixed_spec(b2.shape) for b2 in cb],
             out_specs=(row3, row3, _fixed_spec((1, 1)), _fixed_spec((1, 1))),
@@ -638,7 +659,7 @@ class FusedUpdate:
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=96 * 1024 * 1024),
         )(obsc, rew.reshape(T, 1, Bp), nonterm.reshape(T, 1, Bp),
-          timeout_f.reshape(T, 1, Bp), last_values.reshape(1, Bp),
+          timeout_f.reshape(T, 1, Bp),
           *cW, *cb)
         adv = adv.reshape(T, Bp)
         ret = ret.reshape(T, Bp)
@@ -647,13 +668,18 @@ class FusedUpdate:
         return adv[:, :B], ret[:, :B], sa[0, 0], sa2[0, 0]
 
     # -- gradient + metric pass ----------------------------------------------
-    def prepare(self, obs, priv, act, mu_old, old_logp):
+    def prepare(self, obs, priv, act, mu_old, old_logp,
+                obs_last=None, priv_last=None):
         """Transpose the epoch-invariant update inputs to the kernel's
         batch-on-lanes layout ONCE per iteration (they do not change across
         the 20 mini-epochs; transposing [N, dim] -> [dim, N] per epoch
         would cost ~150 us x 20).  Leaves keep their leading-batch axes
         ([dim, *lead]) so GSPMD shardings on the env axis survive; the
-        local kernel wrapper flattens [dim, *lead] -> [dim, N] for free."""
+        local kernel wrapper flattens [dim, *lead] -> [dim, N] for free.
+
+        With obs_last/priv_last ([B, dim], the post-rollout observation)
+        the GAE plane obscG gets a T+1-th row so the GAE kernel computes
+        the bootstrap value itself (utils/runner.py:133-135)."""
         obsc = jnp.concatenate([obs, priv], axis=-1).astype(self.dt)
         prep = {
             "obsT": jnp.moveaxis(obs.astype(self.dt), -1, 0),
@@ -662,10 +688,14 @@ class FusedUpdate:
             "muoldT": jnp.moveaxis(mu_old, -1, 0),
             "old_logp": old_logp,
         }
-        if obsc.ndim == 3:
-            # the GAE kernel walks time-major [T, dim, B] blocks — its
-            # transpose is hoisted here too (one per iteration, not 20)
-            prep["obscG"] = obsc.transpose(0, 2, 1)
+        if obsc.ndim == 3 and obs_last is not None:
+            # the GAE kernel walks time-major [T+1, dim, B] blocks — the
+            # concat+transpose is hoisted here too (one per iteration,
+            # not 20); row T is the bootstrap (last) observation
+            obsc_last = jnp.concatenate(
+                [obs_last, priv_last], axis=-1).astype(self.dt)
+            prep["obscG"] = jnp.concatenate(
+                [obsc, obsc_last[None]], axis=0).transpose(0, 2, 1)
         return prep
 
     def policy_old_logp(self, params, prep):

@@ -198,8 +198,8 @@ class T1Standup(T1):
                                  settled.q.shape).copy()
         bend = {"Hip_Pitch": -1.4, "Knee_Pitch": 2.2, "Ankle_Pitch": -0.8}
         for j, nm in enumerate(names):
-            for key, amount in bend.items():
-                if key in nm:
+            for joint_key, amount in bend.items():
+                if joint_key in nm:
                     q_def = q_def.at[:, j].add(depth * amount)
         q_def = jnp.clip(q_def, self.dof_lower, self.dof_upper)
         pos_def = settled.root_pos.at[:, 2].set(
@@ -358,7 +358,12 @@ class T1Standup(T1):
         total, terms = super()._compute_reward(params, state)
         terms = {k: jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
                  for k, v in terms.items()}
-        return sum(terms.values()), terms
+        total = sum(terms.values())
+        # re-apply the base class's clamp (lost by re-summing the
+        # sanitized terms; reference envs/t1.py:571-572)
+        if self.cfg["rewards"].get("only_positive_rewards", False):
+            total = jnp.maximum(total, 0.0)
+        return total, terms
 
     # -- standup reward terms -------------------------------------------------
     def _reward_standup_height(self, params, state):

@@ -148,11 +148,13 @@ def test_grads_under_mesh_match_single_device():
     _assert_tree_close(g8, g1, rtol=1e-5, atol=1e-6)
 
 
-def _gae_xla(net, params, obs, priv, rew, done, timeout, last_values,
+def _gae_xla(net, params, obs, priv, obs_last, priv_last, rew, done, timeout,
              gamma=0.995, lam=0.95):
     from booster_gym_tpu.algo.ppo import discount_values
 
     values = net.apply(params, obs, priv, method=ActorCritic.est_value)
+    last_values = net.apply(params, obs_last, priv_last,
+                            method=ActorCritic.est_value)
     rwd = jnp.where(timeout, values, rew)
     adv = discount_values(rwd, done | timeout, values, last_values,
                           gamma, lam)
@@ -161,24 +163,27 @@ def _gae_xla(net, params, obs, priv, rew, done, timeout, last_values,
 
 @pytest.mark.parametrize("B", [128, 96])  # 96: masked lane padding
 def test_gae_kernel_matches_xla(B):
-    """Fused values+GAE kernel == est_value -> timeout bootstrap ->
+    """Fused values+GAE kernel == est_value (incl. the in-kernel bootstrap
+    value at the last observation) -> timeout bootstrap ->
     discount_values, including the masked advantage sums."""
     net, params, obs, priv, *_ = _make("f32", T=5, B=B)
     ks = jax.random.split(jax.random.PRNGKey(7), 4)
     rew = jax.random.normal(ks[0], (5, B))
     done = jax.random.bernoulli(ks[1], 0.2, (5, B))
     timeout = jax.random.bernoulli(ks[2], 0.1, (5, B))
-    lastv = jax.random.normal(ks[3], (B,))
+    obs_last = jax.random.normal(ks[3], (B, 47))
+    priv_last = jax.random.normal(ks[3], (B, 14))
 
     adv_ref, ret_ref = jax.jit(functools.partial(_gae_xla, net))(
-        params, obs, priv, rew, done, timeout, lastv)
+        params, obs, priv, obs_last, priv_last, rew, done, timeout)
 
     fused = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
                         compute_dtype="f32", tile=128, interpret=True)
     nonterm = 1.0 - (done | timeout).astype(jnp.float32)
     adv, ret, sa, sa2 = jax.jit(
         functools.partial(fused.gae, gamma=0.995, lam=0.95))(
-        params, obs, priv, rew, nonterm, timeout.astype(jnp.float32), lastv)
+        params, obs, priv, obs_last, priv_last, rew, nonterm,
+        timeout.astype(jnp.float32))
 
     np.testing.assert_allclose(np.asarray(adv), np.asarray(adv_ref),
                                rtol=2e-4, atol=1e-5)
@@ -244,11 +249,12 @@ def test_gae_under_mesh_matches_single_device():
     from booster_gym_tpu.parallel import make_mesh
 
     net, params, obs, priv, *_ = _make("f32", T=4, B=128)
-    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
     rew = jax.random.normal(ks[0], (4, 128))
     done = jax.random.bernoulli(ks[1], 0.2, (4, 128))
     timeout = jax.random.bernoulli(ks[2], 0.1, (4, 128))
-    lastv = jax.random.normal(ks[3], (128,))
+    obs_last = jax.random.normal(ks[3], (128, 47))
+    priv_last = jax.random.normal(ks[4], (128, 14))
     nonterm = 1.0 - (done | timeout).astype(jnp.float32)
     tf = timeout.astype(jnp.float32)
 
@@ -256,14 +262,14 @@ def test_gae_under_mesh_matches_single_device():
                          compute_dtype="f32", tile=128, interpret=True)
     a1, r1, sa1, sa21 = jax.jit(
         functools.partial(single.gae, gamma=0.995, lam=0.95))(
-        params, obs, priv, rew, nonterm, tf, lastv)
+        params, obs, priv, obs_last, priv_last, rew, nonterm, tf)
 
     sharded = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
                           compute_dtype="f32", tile=128, interpret=True,
                           mesh=make_mesh(8))
     a8, r8, sa8, sa28 = jax.jit(
         functools.partial(sharded.gae, gamma=0.995, lam=0.95))(
-        params, obs, priv, rew, nonterm, tf, lastv)
+        params, obs, priv, obs_last, priv_last, rew, nonterm, tf)
     np.testing.assert_allclose(np.asarray(a8), np.asarray(a1),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(r8), np.asarray(r1),
