@@ -187,54 +187,86 @@ def run_bench():
 
 
 def _phase_split(jax, env, ppo, env_params, ts, t_iter_ms):
-    """Per-phase attribution (VERDICT r3 #8): time rollout / update /
+    """Per-phase attribution (VERDICT r3 #8, r4 #5): time rollout / update /
     physics-inner-loop sub-programs so round-over-round regressions are
-    attributable from the driver artifact alone.  Each sub-timing is a
-    separate dispatch and carries ~2-4 ms of tunnel latency the full
-    iteration amortizes (so rollout+update > iter by that much); the
-    numbers attribute, they don't sum.  Diagnostics only — any failure is
-    reported and swallowed."""
+    attributable from the driver artifact alone.
+
+    ADDITIVE by construction (round-5 fix): each phase runs N_REP times
+    inside ONE lax.scan device program, so the ~2-4 ms tunnel dispatch
+    latency divides by N_REP instead of being counted once per phase
+    (the round-4 split summed to iter + ~6 ms).  The residual
+    iter - rollout - update is reported as its own "dispatch" line —
+    host dispatch plus the train_iteration metric tail; the invariant is
+    rollout + update + dispatch == iter within ~1 ms.  Diagnostics only —
+    any failure is reported and swallowed."""
     import time as _time
 
     import jax.numpy as jnp
 
-    def _time_fn(fn, *args, n=10):
-        out = fn(*args)
+    N_REP = 10
+
+    def _time_fn(fn, *args):
+        out = fn(*args)               # compile + warm
         jax.block_until_ready(jax.tree.leaves(out))
         t0 = _time.time()
-        for _ in range(n):
-            out = fn(*args)
+        out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out))
-        return (_time.time() - t0) / n * 1000.0
+        return (_time.time() - t0) / N_REP * 1000.0
 
     try:
         horizon = ppo.horizon
-        roll = jax.jit(ppo.rollout)
-        t_roll = _time_fn(roll, env_params, ts)
-        carry, buf = roll(env_params, ts)
-        t_upd = _time_fn(jax.jit(ppo.update), ts, carry, buf)
+
+        def rollout_n(p, ts0):
+            def body(c, _):
+                carry, _buf = ppo.rollout(p, c)
+                (env_state, obs, priv, key, ep_sums, ep_steps, *_f) = carry
+                return c.replace(env_state=env_state, obs=obs,
+                                 privileged_obs=priv, key=key,
+                                 episode_sums=ep_sums,
+                                 episode_steps=ep_steps), None
+            return jax.lax.scan(body, ts0, None, length=N_REP)[0]
+
+        t_roll = _time_fn(jax.jit(rollout_n), env_params, ts)
+        carry, buf = jax.jit(ppo.rollout)(env_params, ts)
+
+        def update_n(ts0, carry0, buf0):
+            def body(c, _):
+                (params, opt_state, lr), _stats = ppo.update(
+                    ts0.replace(params=c[0], opt_state=c[1], lr=c[2]),
+                    carry0, buf0)
+                return (params, opt_state, lr), None
+            return jax.lax.scan(
+                body, (ts0.params, ts0.opt_state, ts0.lr), None,
+                length=N_REP)[0]
+
+        t_upd = _time_fn(jax.jit(update_n), ts, carry, buf)
         phases = {"iter": round(t_iter_ms, 2),
                   "rollout": round(t_roll, 2),
-                  "update": round(t_upd, 2)}
+                  "update": round(t_upd, 2),
+                  "dispatch": round(t_iter_ms - t_roll - t_upd, 2)}
         if env.pallas_backend:
             s = ts.env_state
             B = s.sim.q.shape[0]
             zeros3 = jnp.zeros((B, 3))
 
-            # ONE dispatch for all `horizon` inner-loop calls: timing a
-            # single call and multiplying would multiply the ~2-3 ms
-            # tunnel dispatch latency by 24 (observed: "80 ms physics")
+            # rollout sub-split (informational, inside the rollout line):
+            # one dispatch for all horizon x N_REP inner-loop calls
             def phys_iter(p, st):
                 def body(c, _):
                     out = env._physics_inner_loop_packed(
                         p, c, c.last_dof_targets, zeros3, zeros3)
                     return c.replace(sim=out[0]), None
-                return jax.lax.scan(body, st, None, length=horizon)[0]
+                return jax.lax.scan(body, st, None,
+                                    length=horizon * N_REP)[0]
 
             t_phys = _time_fn(jax.jit(phys_iter), env_params, s)
             phases["physics"] = round(t_phys, 2)
             phases["env_layer"] = round(t_roll - t_phys, 2)
-        print(f"phase split (ms/iter): {phases}", file=sys.stderr)
+        print(f"phase split (ms/iter): {phases}  "
+              f"[additive: rollout+update+dispatch = "
+              f"{phases['rollout'] + phases['update'] + phases['dispatch']:.2f}"
+              f" vs iter {phases['iter']:.2f}; physics/env_layer split the"
+              f" rollout line]", file=sys.stderr)
         return phases
     except Exception as e:  # noqa: BLE001 - diagnostics must never fail bench
         print(f"phase split skipped: {type(e).__name__}: {e}",

@@ -279,23 +279,25 @@ class PPO:
         std_old = std_buf[0, 0]                         # state-independent
 
         def epoch_fused(carry, muoldT_c, old_logp_c, self_old):
-            """Mini-epoch through the fused Pallas kernels (round 4/5
-            layout): one kernel walks the horizon (+ the bootstrap step)
-            in reverse computing critic values incl. last_values + timeout
-            bootstrap + GAE + advantage sums; the gradient kernel
-            normalizes advantages in-kernel and accumulates the reference
-            metric sums (update_kernel.py) — per-epoch XLA work shrinks to
-            the flat-vector Adam, the KL-adaptive LR, and a handful of
-            scalars.  params/opt-state ride the scan carry as RAVELED
-            vectors (p/m/v): the tree forms exist only transiently inside
-            the epoch, so the scan boundary moves 3 flat leaves instead of
-            ~60 small ones.  Numerics identical to the `epoch` branch
-            below (tests compare them)."""
-            p, m, v, cnt, lr, _lr_used = carry
-            params = unravel_p(p)
+            """Mini-epoch through the fused Pallas kernels (round 5
+            layout), THREE kernels and a handful of scalar XLA ops:
+              1. gae: reverse walk over horizon+1 steps — critic values
+                 incl. the bootstrap value at the last obs, timeout
+                 bootstrap, GAE, advantage sums;
+              2. grads_stats: actor+critic forward/backward with
+                 in-kernel advantage normalization and the reference
+                 metric sums, gradients returned as raw leaves;
+              3. opt_stage: clip-by-global-norm + Adam over the leaves
+                 plus the compute-dtype weight staging (cast+transpose)
+                 for the NEXT epoch's kernels.
+            params/Adam moments ride the scan carry as leaf lists in the
+            gradient kernel's orientation; no pytree/ravel churn inside
+            the scan.  Numerics identical to the `epoch` branch below
+            (tests compare them)."""
+            p_lv, m_lv, v_lv, stg, cnt, lr, _lr_used = carry
             fused = fused_once
-            adv_raw, returns, s_a, s_a2 = fused.gae_prepared(
-                params, prep["obscG"], rew_buf, nonterm, timeout_f,
+            adv_raw, returns, s_a, s_a2 = fused.gae_prepared_staged(
+                stg, prep["obscG"], rew_buf, nonterm, timeout_f,
                 self.gamma, self.lam)
             # Bessel-corrected normalization stats (torch .std()); the
             # normalize itself happens inside the gradient kernel
@@ -311,18 +313,16 @@ class PPO:
             # is small (observed: kl 7.2 vs 0.15 on standup; reward@5k
             # 54.6 vs 66.7 on T1 flat from the same mechanism via the LR
             # path)
-            grads, st, mu_out, logp_out = fused.grads_stats_prepared(
-                params, {**prep, "muoldT": muoldT_c,
-                         "old_logp": old_logp_c},
-                adv_raw, returns, mean, rstd, self_old=self_old)
-            # the entropy bonus depends only on logstd — closed form
-            grads["params"]["logstd"] = (
-                grads["params"]["logstd"] + self.entropy_coef)
+            g_lv, st, mu_out, logp_out = fused.grads_stats_prepared_staged(
+                stg, {**prep, "muoldT": muoldT_c,
+                      "old_logp": old_logp_c},
+                adv_raw, returns, mean, rstd, self_old=self_old,
+                raw_leaves=True)
 
             # finish the reference metric formulas from the kernel sums
-            logstd = params["params"]["logstd"]
-            std = jnp.exp(logstd)                       # [1, num_act]
-            na = std.shape[1]
+            logstd = p_lv[-1][:, 0]                     # [num_act]
+            std = jnp.exp(logstd)
+            na = std.shape[0]
             value_loss = st["vl"] / N
             actor_loss = st["al"] / N
             bound_loss = st["bhi"] / (N * na) + st["blo"] / (N * na)
@@ -330,19 +330,25 @@ class PPO:
             # analytic KL vs the rollout policy (utils/runner.py:168-173):
             # per-dim constants + the kernel's sum of (mu_new - mu_old)^2
             kl_const = jnp.sum(
-                jnp.log(std[0] / std_old)
-                + 0.5 * jnp.square(std_old) / jnp.square(std[0]) - 0.5)
+                jnp.log(std / std_old)
+                + 0.5 * jnp.square(std_old) / jnp.square(std) - 0.5)
             kl_mean = kl_const + 0.5 * jnp.sum(
-                st["klsq"] / (N * jnp.square(std[0])))
+                st["klsq"] / (N * jnp.square(std)))
 
-            g, _ = jax.flatten_util.ravel_pytree(grads)
-            p2, m2, v2, cnt2 = self._flat_adam(g, p, m, v, cnt, lr)
+            # entropy-bonus gradient added in-kernel, before the clip
+            p2, m2, v2, stg2 = fused.opt_stage(
+                g_lv, p_lv, m_lv, v_lv, cnt, lr,
+                entropy_coef=self.entropy_coef, b1=self.adam_b1,
+                b2=self.adam_b2, eps=self.adam_eps,
+                max_norm=self.grad_norm_clip)
+            cmax = jnp.iinfo(jnp.int32).max
+            cnt2 = jnp.where(cnt < cmax, cnt + 1, cnt)
 
             lr2 = jnp.where(
                 kl_mean > self.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5),
                 jnp.where(kl_mean < self.desired_kl / 2.0,
                           jnp.minimum(1e-2, lr * 1.5), lr))
-            return (p2, m2, v2, cnt2, lr2, lr), (
+            return (p2, m2, v2, stg2, cnt2, lr2, lr), (
                 value_loss, actor_loss, bound_loss, entropy,
                 kl_mean), mu_out, logp_out
 
@@ -393,15 +399,17 @@ class PPO:
         if self.update_backend == "fused":
             clip_state, inj = ts.opt_state
             adam_state, sb_lr_state = inj.inner_state
-            p0, unravel_p = jax.flatten_util.ravel_pytree(ts.params)
-            m0, _ = jax.flatten_util.ravel_pytree(adam_state.mu)
-            v0, _ = jax.flatten_util.ravel_pytree(adam_state.nu)
+            p_lv = fused_once.param_leaves(ts.params)
+            m_lv = fused_once.param_leaves(adam_state.mu)
+            v_lv = fused_once.param_leaves(adam_state.nu)
+            staged0 = fused_once.stage_leaves(p_lv)
 
             # epoch 0 runs PEELED out of the scan: its kernel forward
             # becomes the old policy for epochs 1+ as closed-over
             # constants, so the scan carry drops the [num_act, T*B] mu
             # plane and the per-epoch where() copies entirely
-            carry = (p0, m0, v0, adam_state.count, ts.lr, ts.lr)
+            carry = (p_lv, m_lv, v_lv, staged0, adam_state.count,
+                     ts.lr, ts.lr)
             carry, stats0, mu_old0, old_logp0 = epoch_fused(
                 carry, prep["muoldT"], prep["old_logp"], self_old=1.0)
 
@@ -413,21 +421,22 @@ class PPO:
             carry, stats_rest = jax.lax.scan(
                 scan_body, carry, None, length=self.mini_epochs - 1,
                 unroll=self.update_scan_unroll)
-            p, m, v, cnt, lr2, lr_used = carry
+            p_lv, m_lv, v_lv, _stg, cnt, lr2, lr_used = carry
             stats = jax.tree.map(
                 lambda a, b: jnp.concatenate([a[None], b], axis=0),
                 stats0, stats_rest)
 
-            # re-tree the raveled carry once (mirrors _flat_optimizer_step's
+            # re-tree the leaf carry once (mirrors _flat_optimizer_step's
             # state bookkeeping; inject count tracks the adam count — both
             # increment once per mini-epoch from equal initial values)
             opt_state2 = (clip_state, inj._replace(
                 count=cnt,
                 hyperparams={**inj.hyperparams, "learning_rate": lr_used},
                 inner_state=(adam_state._replace(
-                    count=cnt, mu=unravel_p(m), nu=unravel_p(v)),
+                    count=cnt, mu=fused_once.leaves_to_tree(m_lv),
+                    nu=fused_once.leaves_to_tree(v_lv)),
                     sb_lr_state)))
-            return (unravel_p(p), opt_state2, lr2), stats
+            return (fused_once.leaves_to_tree(p_lv), opt_state2, lr2), stats
         return jax.lax.scan(
             epoch, (ts.params, ts.opt_state, ts.lr), None,
             length=self.mini_epochs, unroll=self.update_scan_unroll)

@@ -316,11 +316,13 @@ def _mlp_fwd_T(x, WTs, bs, dt, interp=False):
     return xs, zs
 
 
-def _mlp_bwd_T(xs, zs, Ws, dz_last, dW_refs, db_refs, first, interp=False):
-    """Transposed backward: activations/deltas are [dim, n]; Ws are the
-    ORIGINAL [in, out] weights (for the input-gradient products); weight
-    gradients come out [in, out] directly (contraction over the lane
-    axis), so no transposes are needed anywhere.
+def _mlp_bwd_T(xs, zs, WTs, dz_last, dW_refs, db_refs, first, interp=False):
+    """Transposed backward: activations/deltas are [dim, n]; WTs are the
+    SAME transposed [out, in] weights the forward uses (the input-gradient
+    product contracts both operands on their out axis — round-5 change: the
+    original-orientation duplicates are gone, halving the weight staging);
+    weight gradients come out [in, out] directly (contraction over the
+    lane axis), so no transposes are needed anywhere.
 
     The dW dots contract BOTH operands on the lane axis — Mosaic's bf16
     lowering of that shape trips a verifier bug ('vector.broadcast' bf16 ->
@@ -332,7 +334,7 @@ def _mlp_bwd_T(xs, zs, Ws, dz_last, dW_refs, db_refs, first, interp=False):
     bf16 = dz_last.dtype == jnp.bfloat16
     dw_prec = (jax.lax.Precision.DEFAULT if bf16
                else jax.lax.Precision.HIGHEST)
-    for i in range(len(Ws) - 1, -1, -1):
+    for i in range(len(WTs) - 1, -1, -1):
         dW = jax.lax.dot_general(
             xs[i].astype(jnp.float32), dz.astype(jnp.float32),
             (((1,), (1,)), ((), ())),
@@ -347,7 +349,8 @@ def _mlp_bwd_T(xs, zs, Ws, dz_last, dW_refs, db_refs, first, interp=False):
         dW_refs[i][...] += dW
         db_refs[i][...] += db
         if i > 0:
-            dh = _dot_T(Ws[i][...], dz, ((1,), (0,)), dz.dtype,
+            # dL/dx = W @ dz = sum_out WT[out, in] dz[out, n] -> [in, n]
+            dh = _dot_T(WTs[i][...], dz, ((0,), (0,)), dz.dtype,
                         interp).astype(dz.dtype)
             dz = dh * _elu_grad(zs[i - 1])
 
@@ -392,16 +395,14 @@ def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
     by the exact reference formulas in the caller (utils/runner.py:131-164
     losses and statistics).
 
-    Ref layout: per-layer weights arrive twice — transposed [out, in] for
-    the forward dots and original [in, out] for the backward input-gradient
-    dots (0.4 MB of VMEM buys zero in-kernel transposes)."""
+    Ref layout: per-layer weights arrive ONCE, transposed [out, in] —
+    both the forward dots and the backward input-gradient dots contract
+    on them directly (see _mlp_bwd_T)."""
     aWT = refs[0:nA]
     ab = refs[nA:2 * nA]
-    aW = refs[2 * nA:3 * nA]
-    cWT = refs[3 * nA:3 * nA + nC]
-    cb = refs[3 * nA + nC:3 * nA + 2 * nC]
-    cW = refs[3 * nA + 2 * nC:3 * nA + 3 * nC]
-    out = refs[3 * nA + 3 * nC:]
+    cWT = refs[2 * nA:2 * nA + nC]
+    cb = refs[2 * nA + nC:2 * nA + 2 * nC]
+    out = refs[2 * nA + 2 * nC:]
     daW = out[0:nA]
     dab = out[nA:2 * nA]
     dcW = out[2 * nA:2 * nA + nC]
@@ -480,8 +481,79 @@ def _grads_stats_kernel(scal_ref, norm_ref, muold_ref, obs_ref, obsc_ref,
     klsq_ref[...] += jnp.sum(jnp.square(dmu_old) * mask, axis=1,
                              keepdims=True)
 
-    _mlp_bwd_T(xa, za, aW, dmu.astype(dt), daW, dab, first, interp)
-    _mlp_bwd_T(xc, zc, cW, dval.astype(dt), dcW, dcb, first, interp)
+    _mlp_bwd_T(xa, za, aWT, dmu.astype(dt), daW, dab, first, interp)
+    _mlp_bwd_T(xc, zc, cWT, dval.astype(dt), dcW, dcb, first, interp)
+
+
+def _opt_stage_kernel(lr_ref, cnt_ref, *refs, n_leaves, stage, dt,
+                      b1, b2, eps, max_norm, entropy_coef, logstd_idx):
+    """Fused optimizer epoch step: clip-by-global-norm + Adam on every
+    parameter leaf PLUS the bf16 weight staging (cast + transpose) for the
+    next mini-epoch's forward kernels — one kernel replacing ~75 small XLA
+    ops per mini-epoch (ravel/unravel slices, per-leaf casts, transposes,
+    the optimizer arithmetic), measured at ~126 us/epoch of pure op-issue
+    overhead on v5e (round-5 trace).
+
+    Ref layout: inputs lr (SMEM), cnt (SMEM), then n_leaves gradient refs,
+    n_leaves params, n_leaves mu, n_leaves nu — all f32, in the GRADIENT
+    kernel's output orientation (weights [in, out], biases [out, 1],
+    logstd [num_act, 1]).  Outputs: n_leaves p2, n_leaves m2, n_leaves v2
+    (f32), then one staged compute-dtype array per entry of `stage`:
+    ("T", i) = transposed [out, in] view of updated leaf i (weights —
+    including the [128, 1] critic head, so kinds are explicit, not
+    shape-sniffed), ("cast", i) = same-orientation cast (biases).
+
+    The entropy bonus gradient (a constant per logstd dim) is added here,
+    BEFORE the global-norm clip — same order as the XLA path.  Formulas
+    replicate optax exactly (see PPO._flat_adam); the only numeric
+    differences are f32 sum-reassociation in the global norm and the
+    exp/log formulation of the bias-correction powers."""
+    g_refs = refs[0:n_leaves]
+    p_refs = refs[n_leaves:2 * n_leaves]
+    m_refs = refs[2 * n_leaves:3 * n_leaves]
+    v_refs = refs[3 * n_leaves:4 * n_leaves]
+    out = refs[4 * n_leaves:]
+    p2_refs = out[0:n_leaves]
+    m2_refs = out[n_leaves:2 * n_leaves]
+    v2_refs = out[2 * n_leaves:3 * n_leaves]
+    staged_refs = out[3 * n_leaves:]
+
+    lr = lr_ref[0, 0]
+    cnt = cnt_ref[0, 0]
+
+    def grad_of(i):
+        g = g_refs[i][...]
+        if i == logstd_idx:
+            g = g + entropy_coef
+        return g
+
+    sq = jnp.zeros((), jnp.float32)
+    for i in range(n_leaves):
+        g = grad_of(i)
+        sq += jnp.sum(g * g)
+    g_norm = jnp.sqrt(sq)
+    scale = jnp.where(g_norm < max_norm, 1.0, max_norm / g_norm)
+
+    cnt2 = cnt + 1   # caller saturates (safe_increment) before passing back
+    bc1 = 1.0 - jnp.exp(cnt2.astype(jnp.float32) * float(np.log(b1)))
+    bc2 = 1.0 - jnp.exp(cnt2.astype(jnp.float32) * float(np.log(b2)))
+
+    for i in range(n_leaves):
+        g = grad_of(i) * scale
+        m2 = b1 * m_refs[i][...] + (1.0 - b1) * g
+        v2 = b2 * v_refs[i][...] + (1.0 - b2) * (g * g)
+        upd = (-lr) * ((m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps))
+        p2 = p_refs[i][...] + upd
+        p2_refs[i][...] = p2
+        m2_refs[i][...] = m2
+        v2_refs[i][...] = v2
+
+    for k, (kind, i) in enumerate(stage):
+        w2 = p2_refs[i][...]
+        if kind == "cast":             # bias [out, 1]: cast only
+            staged_refs[k][...] = w2.astype(dt)
+        else:                          # weight [in, out] -> [out, in]
+            staged_refs[k][...] = w2.T.astype(dt)
 
 
 class FusedUpdate:
@@ -516,6 +588,62 @@ class FusedUpdate:
             Ws.append(sub[f"Dense_{i}"]["kernel"].astype(self.dt))
             bs.append(sub[f"Dense_{i}"]["bias"].reshape(1, -1).astype(self.dt))
         return Ws, bs
+
+    # -- leaf plumbing for the fused optimizer epoch ------------------------
+    # canonical leaf order: aW0..., ab0... [out,1], cW0..., cb0... [out,1],
+    # logstd [num_act, 1] — the GRADIENT kernel's native output orientation,
+    # shared by grads_stats(raw_leaves=True), opt_stage, and param_leaves
+    def param_leaves(self, tree):
+        """Params/mu/nu pytree -> leaf list in the canonical order."""
+        sub = tree["params"]
+        leaves = []
+        for net in ("actor", "critic"):
+            n = len(sub[net])
+            leaves += [sub[net][f"Dense_{i}"]["kernel"] for i in range(n)]
+            leaves += [sub[net][f"Dense_{i}"]["bias"].reshape(-1, 1)
+                       for i in range(n)]
+        leaves.append(sub["logstd"].reshape(-1, 1))
+        return leaves
+
+    def leaves_to_tree(self, leaves):
+        """Inverse of param_leaves (bias leaves back to [out], logstd to
+        [1, num_act])."""
+        nA = self._n_layers("actor")
+        nC = self._n_layers("critic")
+        aW, ab = leaves[:nA], leaves[nA:2 * nA]
+        cW, cb = (leaves[2 * nA:2 * nA + nC],
+                  leaves[2 * nA + nC:2 * nA + 2 * nC])
+        return {"params": {
+            "actor": {f"Dense_{i}": {"kernel": aW[i],
+                                     "bias": ab[i].reshape(-1)}
+                      for i in range(nA)},
+            "critic": {f"Dense_{i}": {"kernel": cW[i],
+                                      "bias": cb[i].reshape(-1)}
+                       for i in range(nC)},
+            "logstd": leaves[-1].reshape(1, -1),
+        }}
+
+    def _n_layers(self, net):
+        # actor: 3 hidden + out; critic: 3 hidden + out (networks.py)
+        return 4
+
+    def stage_leaves(self, leaves):
+        """Compute-dtype staging of a param leaf list (the XLA-side twin of
+        the opt_stage kernel's staged outputs; used for mini-epoch 0)."""
+        nA = self._n_layers("actor")
+        nC = self._n_layers("critic")
+        return {
+            "aWT": [leaves[i].T.astype(self.dt) for i in range(nA)],
+            "abT": [leaves[nA + i].astype(self.dt) for i in range(nA)],
+            "cWT": [leaves[2 * nA + i].T.astype(self.dt) for i in range(nC)],
+            "cbT": [leaves[2 * nA + nC + i].astype(self.dt)
+                    for i in range(nC)],
+            "logstd": leaves[-1].astype(jnp.float32),
+        }
+
+    def stage(self, params):
+        """Staged weight dict from a params pytree."""
+        return self.stage_leaves(self.param_leaves(params))
 
     def _pad_rows(self, x, n_pad):
         return jnp.pad(x, ((0, n_pad), (0, 0)))
@@ -592,7 +720,16 @@ class FusedUpdate:
     def gae_prepared(self, params, obscG, rew, nonterm, timeout_f,
                      gamma, lam, n_total=None):
         """gae() on a prepare()'d [T+1, dim, B] observation plane (row T =
-        the last observation; the hot path hoists that concat+transpose out
+        the last observation)."""
+        return self.gae_prepared_staged(self.stage(params), obscG, rew,
+                                        nonterm, timeout_f, gamma, lam,
+                                        n_total=n_total)
+
+    def gae_prepared_staged(self, staged, obscG, rew, nonterm, timeout_f,
+                            gamma, lam, n_total=None):
+        """gae() on a prepare()'d observation plane and stage()'d weights
+        (the hot path: the opt_stage kernel of epoch e produces epoch
+        e+1's staged weights; the concat+transpose of obscG is hoisted out
         of the mini-epoch scan)."""
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -604,12 +741,12 @@ class FusedUpdate:
                 mesh=self.mesh,
                 in_specs=(P(), P(None, None, self.axis_name), b, b, b),
                 out_specs=(b, b, P(), P()), check_vma=False)
-            return fn(params, obscG, rew, nonterm, timeout_f)
-        return self._gae_local(params, obscG, rew, nonterm, timeout_f,
+            return fn(staged, obscG, rew, nonterm, timeout_f)
+        return self._gae_local(staged, obscG, rew, nonterm, timeout_f,
                                gamma=gamma, lam=lam,
                                n_total=n_total, psum=False)
 
-    def _gae_local(self, params, obsc, rew, nonterm, timeout_f,
+    def _gae_local(self, staged, obsc, rew, nonterm, timeout_f,
                    gamma, lam, n_total, psum):
         T, B = rew.shape
         # batch-on-lanes: [T+1, dim, B] observation planes and [out, in]
@@ -621,9 +758,8 @@ class FusedUpdate:
             rew, nonterm, timeout_f = (
                 jnp.pad(x, ((0, 0), (0, pad)))
                 for x in (rew, nonterm, timeout_f))
-        cW, cb = self._layers(params, "critic")
-        cW = [w.T for w in cW]                 # [out, in]
-        cb = [b.reshape(-1, 1) for b in cb]    # [out, 1]
+        cW = staged["cWT"]                     # [out, in] compute dtype
+        cb = staged["cbT"]                     # [out, 1]
         kern = functools.partial(
             _gae_kernel, n_layers=len(cW), T=T, Bp=Bp, n_valid_b=B,
             gamma=float(gamma), lam=float(lam), dt=self.dt,
@@ -778,14 +914,27 @@ class FusedUpdate:
             n_total=n_total)
 
     def grads_stats_prepared(self, params, prep, adv_raw, returns,
-                             adv_mean, adv_rstd, self_old=0.0, n_total=None):
-        """grads_stats on prepare()'d inputs (the hot path: ppo.py calls
-        prepare once per iteration, this 20x).  self_old=1.0 marks the
+                             adv_mean, adv_rstd, self_old=0.0, n_total=None,
+                             raw_leaves=False):
+        """grads_stats on prepare()'d inputs; stages the params and calls
+        the staged variant below."""
+        return self.grads_stats_prepared_staged(
+            self.stage(params), prep, adv_raw, returns, adv_mean, adv_rstd,
+            self_old=self_old, n_total=n_total, raw_leaves=raw_leaves)
+
+    def grads_stats_prepared_staged(self, staged, prep, adv_raw, returns,
+                                    adv_mean, adv_rstd, self_old=0.0,
+                                    n_total=None, raw_leaves=False):
+        """grads_stats on prepare()'d inputs and stage()'d weights (the hot
+        path: ppo.py calls prepare once per iteration; the opt_stage kernel
+        hands staged weights from epoch to epoch).  self_old=1.0 marks the
         FIRST mini-epoch: the kernel substitutes its own forward for the
         old policy (bitwise ratio=1 / KL=0) and the caller carries the
         returned mu/logp as the old policy for later epochs — see the
         kernel docstring for why no separately compiled forward can be
-        trusted here."""
+        trusted here.  raw_leaves=True returns the gradients as the
+        canonical leaf list (param_leaves order) instead of a pytree —
+        the opt_stage kernel's input layout."""
         lead = prep["old_logp"].shape
         n_rows = int(np.prod(lead))
         if n_total is None:
@@ -801,19 +950,19 @@ class FusedUpdate:
             tspec = P(None, *([None] * (len(lead) - 1) + [self.axis_name]))
             fn = jax.shard_map(
                 functools.partial(self._grads_stats_local, n_total=n_total,
-                                  psum=True),
+                                  psum=True, raw_leaves=raw_leaves),
                 mesh=self.mesh,
                 in_specs=(P(), {k: (lspec if k == "old_logp" else tspec)
                                 for k in prep},
                           lspec, lspec, P()),
                 out_specs=(P(), P(), tspec, lspec), check_vma=False)
-            return fn(params, prep, adv_raw, returns, norm)
+            return fn(staged, prep, adv_raw, returns, norm)
         return self._grads_stats_local(
-            params, prep, adv_raw, returns, norm, n_total=n_total,
-            psum=False)
+            staged, prep, adv_raw, returns, norm, n_total=n_total,
+            psum=False, raw_leaves=raw_leaves)
 
-    def _grads_stats_local(self, params, prep, adv, returns, norm,
-                           n_total, psum):
+    def _grads_stats_local(self, staged, prep, adv, returns, norm,
+                           n_total, psum, raw_leaves=False):
         obsT = prep["obsT"].reshape(self.num_obs, -1)
         obscT = prep["obscT"].reshape(self.num_obs + self.num_priv, -1)
         actT = prep["actT"].reshape(self.num_act, -1)
@@ -832,15 +981,13 @@ class FusedUpdate:
                 jnp.pad(x, ((0, 0), (0, pad)))
                 for x in (obsT, obscT, actT, scal, muoldT))
 
-        aW, ab = self._layers(params, "actor")
-        cW, cb = self._layers(params, "critic")
-        aWT = [w.T for w in aW]
-        cWT = [w.T for w in cW]
-        abT = [b.reshape(-1, 1) for b in ab]
-        cbT = [b.reshape(-1, 1) for b in cb]
-        logstd = params["params"]["logstd"].astype(
-            jnp.float32).reshape(-1, 1)
-        nA, nC = len(aW), len(cW)
+        aWT, abT = staged["aWT"], staged["abT"]
+        cWT, cbT = staged["cWT"], staged["cbT"]
+        logstd = staged["logstd"]               # [num_act, 1] f32
+        # weight-gradient output shapes are the ORIGINAL [in, out]
+        aW_shapes = [(w.shape[1], w.shape[0]) for w in aWT]
+        cW_shapes = [(w.shape[1], w.shape[0]) for w in cWT]
+        nA, nC = len(aWT), len(cWT)
 
         kern = functools.partial(
             _grads_stats_kernel, nA=nA, nC=nC, tile=tile, n_valid=n,
@@ -854,9 +1001,9 @@ class FusedUpdate:
                                 memory_space=pltpu.VMEM)
 
         out_shape = (
-            [jax.ShapeDtypeStruct(w.shape, f32) for w in aW]
+            [jax.ShapeDtypeStruct(s, f32) for s in aW_shapes]
             + [jax.ShapeDtypeStruct(b.shape, f32) for b in abT]
-            + [jax.ShapeDtypeStruct(w.shape, f32) for w in cW]
+            + [jax.ShapeDtypeStruct(s, f32) for s in cW_shapes]
             + [jax.ShapeDtypeStruct(b.shape, f32) for b in cbT]
             + [jax.ShapeDtypeStruct(logstd.shape, f32)]
             + [jax.ShapeDtypeStruct((1, 1), f32)] * 4
@@ -864,9 +1011,9 @@ class FusedUpdate:
                jax.ShapeDtypeStruct((self.num_act, grid * tile), f32),
                jax.ShapeDtypeStruct((1, grid * tile), f32)])
         out_specs = (
-            [_fixed_spec(w.shape) for w in aW]
+            [_fixed_spec(s) for s in aW_shapes]
             + [_fixed_spec(b.shape) for b in abT]
-            + [_fixed_spec(w.shape) for w in cW]
+            + [_fixed_spec(s) for s in cW_shapes]
             + [_fixed_spec(b.shape) for b in cbT]
             + [_fixed_spec(logstd.shape)]
             + [_fixed_spec((1, 1))] * 4
@@ -885,10 +1032,8 @@ class FusedUpdate:
                       _fixed_spec(logstd.shape)]
             + [_fixed_spec(w.shape) for w in aWT]
             + [_fixed_spec(b.shape) for b in abT]
-            + [_fixed_spec(w.shape) for w in aW]
             + [_fixed_spec(w.shape) for w in cWT]
-            + [_fixed_spec(b.shape) for b in cbT]
-            + [_fixed_spec(w.shape) for w in cW],
+            + [_fixed_spec(b.shape) for b in cbT],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=self.interpret,
@@ -896,7 +1041,7 @@ class FusedUpdate:
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=96 * 1024 * 1024),
         )(scal, norm, muoldT, obsT, obscT, actT, logstd,
-          *aWT, *abT, *aW, *cWT, *cbT, *cW)
+          *aWT, *abT, *cWT, *cbT)
 
         daW = outs[0:nA]
         dab = outs[nA:2 * nA]
@@ -909,6 +1054,17 @@ class FusedUpdate:
                 jax.lax.psum(
                     (daW, dab, dcW, dcb, dlogstd, vl, al, bhi, blo, klsq),
                     self.axis_name))
+        stats = {"vl": vl[0, 0], "al": al[0, 0], "bhi": bhi[0, 0],
+                 "blo": blo[0, 0], "klsq": klsq[:, 0]}
+        lead = prep["old_logp"].shape
+        n = int(np.prod(lead))
+        mu_out = mu_out[:, :n].reshape((self.num_act,) + lead)
+        logp_out = logp_out[0, :n].reshape(lead)
+        if raw_leaves:
+            # canonical leaf order (param_leaves): the opt_stage kernel's
+            # gradient inputs, no pytree re-assembly in the epoch scan
+            leaves = list(daW) + list(dab) + list(dcW) + list(dcb) + [dlogstd]
+            return leaves, stats, mu_out, logp_out
         grads = {"params": {
             "actor": {f"Dense_{i}": {"kernel": daW[i],
                                      "bias": dab[i].reshape(-1)}
@@ -918,13 +1074,88 @@ class FusedUpdate:
                        for i in range(nC)},
             "logstd": dlogstd.reshape(1, -1),
         }}
-        stats = {"vl": vl[0, 0], "al": al[0, 0], "bhi": bhi[0, 0],
-                 "blo": blo[0, 0], "klsq": klsq[:, 0]}
-        lead = prep["old_logp"].shape
-        n = int(np.prod(lead))
-        mu_out = mu_out[:, :n].reshape((self.num_act,) + lead)
-        logp_out = logp_out[0, :n].reshape(lead)
         return grads, stats, mu_out, logp_out
+
+    # -- fused optimizer + staging pass ---------------------------------------
+    def opt_stage(self, g_leaves, p_leaves, m_leaves, v_leaves, cnt, lr,
+                  entropy_coef, b1, b2, eps, max_norm):
+        """One mini-epoch of clip-by-global-norm + Adam over the canonical
+        leaf list, PLUS the compute-dtype staging of the updated weights
+        for the next epoch's forward kernels — one pallas_call replacing
+        ~75 small per-epoch XLA ops (~126 us/epoch of op-issue overhead on
+        v5e).  Returns (p2_leaves, m2_leaves, v2_leaves, staged dict).
+        The entropy bonus gradient (entropy_coef per logstd dim) is added
+        in-kernel before the clip, matching the XLA order.  Replicated
+        math: under a mesh it runs identically on every device (gradients
+        arrive psum'd)."""
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.shard_map(
+                functools.partial(
+                    self._opt_stage_local, entropy_coef=entropy_coef,
+                    b1=b1, b2=b2, eps=eps, max_norm=max_norm),
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P()), check_vma=False)
+            return fn(g_leaves, p_leaves, m_leaves, v_leaves, cnt, lr)
+        return self._opt_stage_local(
+            g_leaves, p_leaves, m_leaves, v_leaves, cnt, lr,
+            entropy_coef=entropy_coef, b1=b1, b2=b2, eps=eps,
+            max_norm=max_norm)
+
+    def _opt_stage_local(self, g_leaves, p_leaves, m_leaves, v_leaves,
+                         cnt, lr, entropy_coef, b1, b2, eps, max_norm):
+        n_leaves = len(p_leaves)
+        nA = self._n_layers("actor")
+        nC = self._n_layers("critic")
+        # staged output order: aWT, abT, cWT, cbT (stage_leaves layout)
+        stage = ([("T", i) for i in range(nA)]
+                 + [("cast", nA + i) for i in range(nA)]
+                 + [("T", 2 * nA + i) for i in range(nC)]
+                 + [("cast", 2 * nA + nC + i) for i in range(nC)])
+        kern = functools.partial(
+            _opt_stage_kernel, n_leaves=n_leaves, stage=tuple(stage),
+            dt=self.dt, b1=float(b1), b2=float(b2), eps=float(eps),
+            max_norm=float(max_norm), entropy_coef=float(entropy_coef),
+            logstd_idx=n_leaves - 1)
+
+        f32 = jnp.float32
+        smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        leaf_specs = [_fixed_spec(p.shape) for p in p_leaves]
+        staged_shapes = [
+            ((p_leaves[i].shape[1], p_leaves[i].shape[0])
+             if kind == "T" else p_leaves[i].shape)
+            for kind, i in stage]
+        out_shape = (
+            [jax.ShapeDtypeStruct(p.shape, f32) for p in p_leaves] * 3
+            + [jax.ShapeDtypeStruct(s, self.dt) for s in staged_shapes])
+        out_specs = leaf_specs * 3 + [_fixed_spec(s) for s in staged_shapes]
+
+        outs = pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[smem, smem] + leaf_specs * 4,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(jnp.asarray(lr, f32).reshape(1, 1),
+          jnp.asarray(cnt, jnp.int32).reshape(1, 1),
+          *g_leaves, *p_leaves, *m_leaves, *v_leaves)
+
+        p2 = list(outs[0:n_leaves])
+        m2 = list(outs[n_leaves:2 * n_leaves])
+        v2 = list(outs[2 * n_leaves:3 * n_leaves])
+        sg = outs[3 * n_leaves:]
+        staged = {"aWT": list(sg[0:nA]), "abT": list(sg[nA:2 * nA]),
+                  "cWT": list(sg[2 * nA:2 * nA + nC]),
+                  "cbT": list(sg[2 * nA + nC:2 * nA + 2 * nC]),
+                  "logstd": p2[-1]}
+        return p2, m2, v2, staged
 
     # -- gradient pass -------------------------------------------------------
     def grads(self, params, obs, priv, act, adv, returns, old_logp,

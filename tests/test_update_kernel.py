@@ -298,6 +298,68 @@ def test_policy_old_logp_matches_flax():
                                rtol=2e-4, atol=1e-5)
 
 
+def test_opt_stage_matches_flat_optimizer():
+    """The fused optimizer+staging kernel == PPO._flat_optimizer_step
+    (which is itself pinned tree-exactly against optax), plus the staged
+    weights equal the cast/transposed updated params."""
+    import optax
+
+    from booster_gym_tpu.envs import make_task
+    from booster_gym_tpu.algo import PPO
+    from booster_gym_tpu.utils.config import load_task_cfg
+
+    cfg = load_task_cfg("T1")
+    cfg["env"]["num_envs"] = 4
+    cfg["terrain"]["type"] = "plane"
+    cfg["algorithm"]["compute_dtype"] = "f32"
+    env = make_task(cfg)
+    ppo = PPO(env, cfg)
+    params = ppo.network.init(jax.random.PRNGKey(0), jnp.zeros((1, 47)),
+                              jnp.zeros((1, 14)))
+    opt_state = ppo.tx.init(params)
+    # a non-trivial optimizer state: run two reference steps first
+    key = jax.random.PRNGKey(1)
+    for i in range(2):
+        key, k = jax.random.split(key)
+        g = jax.tree.map(
+            lambda p: jax.random.normal(k, p.shape) * 0.5, params)
+        params, opt_state = jax.jit(ppo._flat_optimizer_step)(
+            g, params, opt_state, jnp.float32(3e-4))
+
+    key, k = jax.random.split(key)
+    grads = jax.tree.map(lambda p: jax.random.normal(k, p.shape) * 2.0,
+                         params)
+    # reference: entropy grad on logstd, then the flat step
+    grads_ref = jax.tree.map(lambda x: x, grads)
+    grads_ref["params"]["logstd"] = (
+        grads_ref["params"]["logstd"] + ppo.entropy_coef)
+    lr = jnp.float32(1e-3)
+    p_ref, s_ref = jax.jit(ppo._flat_optimizer_step)(
+        grads_ref, params, opt_state, lr)
+
+    fused = FusedUpdate(47, 14, 12, clip_ratio=0.2, bound_coef=10.0,
+                        compute_dtype="f32", tile=128, interpret=True)
+    adam_state = opt_state[1].inner_state[0]
+    p2, m2, v2, staged = jax.jit(functools.partial(
+        fused.opt_stage, entropy_coef=ppo.entropy_coef, b1=ppo.adam_b1,
+        b2=ppo.adam_b2, eps=ppo.adam_eps, max_norm=ppo.grad_norm_clip))(
+        fused.param_leaves(grads), fused.param_leaves(params),
+        fused.param_leaves(adam_state.mu), fused.param_leaves(adam_state.nu),
+        adam_state.count, lr)
+
+    _assert_tree_close(fused.leaves_to_tree(p2), p_ref, rtol=1e-5, atol=1e-7)
+    ref_adam = s_ref[1].inner_state[0]
+    _assert_tree_close(fused.leaves_to_tree(m2), ref_adam.mu,
+                       rtol=1e-5, atol=1e-7)
+    _assert_tree_close(fused.leaves_to_tree(v2), ref_adam.nu,
+                       rtol=1e-5, atol=1e-7)
+    # staged weights are the cast/transposed updated params
+    ref_staged = fused.stage_leaves(p2)
+    for k2 in ("aWT", "abT", "cWT", "cbT"):
+        for a, b in zip(staged[k2], ref_staged[k2]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_iteration_fused_matches_xla():
     """Full train_iteration: fused vs xla update backends, f32 compute —
     identical rollout (same seed), near-identical update numerics."""
