@@ -89,6 +89,15 @@ class T1:
         self.dt = self.decimation * self.sim_dt  # envs/t1.py:191
 
         self.model = load_urdf(_resolve_asset(cfg["asset"]["file"]))
+        if cfg["asset"].get("collision_source") == "mjcf":
+            # sample contact points from the MJCF collision geoms instead
+            # of the URDF primitives: contact-geometry parity with the
+            # MuJoCo oracle (see model/mjcf_points.py — the two files
+            # disagree by up to 8 cm exactly on the kneeling surfaces)
+            from booster_gym_tpu.model.mjcf_points import with_mjcf_collision
+
+            self.model = with_mjcf_collision(
+                self.model, _resolve_asset(cfg["asset"]["mujoco_file"]))
         nd = self.model.num_dofs
         assert nd == self.num_actions
 
@@ -301,12 +310,22 @@ class T1:
 
         shape_friction = jnp.ones((B, ns))
         shape_restitution = jnp.zeros((B, ns))
-        f = apply_randomization(
-            keys[7], jnp.zeros((B, len(self.foot_shape_indices))), rcfg.get("friction"))
-        r = apply_randomization(
-            keys[8], jnp.zeros((B, len(self.foot_shape_indices))), rcfg.get("restitution"))
-        shape_friction = shape_friction.at[:, self.foot_shape_indices].set(f)
-        shape_restitution = shape_restitution.at[:, self.foot_shape_indices].set(r)
+        if rcfg.get("randomize_all_shapes", False):
+            # tasks whose contact set is the whole body (standup: knees,
+            # hands, torso all bear load) randomize every collision shape;
+            # the reference's walk task randomizes foot shapes only
+            # (envs/t1.py:162-167), which is the default below
+            shape_friction = apply_randomization(
+                keys[7], jnp.zeros((B, ns)), rcfg.get("friction"))
+            shape_restitution = apply_randomization(
+                keys[8], jnp.zeros((B, ns)), rcfg.get("restitution"))
+        else:
+            f = apply_randomization(
+                keys[7], jnp.zeros((B, len(self.foot_shape_indices))), rcfg.get("friction"))
+            r = apply_randomization(
+                keys[8], jnp.zeros((B, len(self.foot_shape_indices))), rcfg.get("restitution"))
+            shape_friction = shape_friction.at[:, self.foot_shape_indices].set(f)
+            shape_restitution = shape_restitution.at[:, self.foot_shape_indices].set(r)
 
         dyn = DynParams(
             body_mass=mass, body_com=com, body_inertia=inertia,

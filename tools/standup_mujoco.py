@@ -25,7 +25,8 @@ from booster_gym_tpu.eval.mujoco_eval import load_mjcf, quat_rotate_inverse_np
 from booster_gym_tpu.utils.config import load_task_cfg
 
 
-def run_drop(mujoco, model, data, pol, tcfg, pitch, yaw, seconds):
+def run_drop(mujoco, model, data, pol, tcfg, pitch, yaw, seconds, roll=0.0,
+             category=""):
     """One fallen-settle-standup episode; returns its outcome record."""
     dt = tcfg["sim"]["dt"]
     decimation = tcfg["control"]["decimation"]
@@ -52,10 +53,16 @@ def run_drop(mujoco, model, data, pol, tcfg, pitch, yaw, seconds):
     # fallen init: near-horizontal drop, then settle under PD-hold
     data.qpos[:] = 0.0
     data.qvel[:] = 0.0
+    # wxyz quaternion: yaw about z after pitch about y after roll about x
+    cr, sr = np.cos(roll / 2), np.sin(roll / 2)
     cp, sp = np.cos(pitch / 2), np.sin(pitch / 2)
     cy, sy = np.cos(yaw / 2), np.sin(yaw / 2)
-    # wxyz: yaw about z after pitch about y
-    data.qpos[3:7] = [cy * cp, -sy * sp, cp * sy * 0 + sp * cy, sy * cp]
+    data.qpos[3:7] = [
+        cy * cp * cr + sy * sp * sr,
+        cy * cp * sr - sy * sp * cr,
+        cy * sp * cr + sy * cp * sr,
+        sy * cp * cr - cy * sp * sr,
+    ]
     data.qpos[2] = 0.5
     data.qpos[7:] = default
     mujoco.mj_forward(model, data)
@@ -98,7 +105,9 @@ def run_drop(mujoco, model, data, pol, tcfg, pitch, yaw, seconds):
             ok = True
             break
     return {
+        "category": category,
         "pitch_deg": round(np.degrees(pitch), 1),
+        "roll_deg": round(np.degrees(roll), 1),
         "yaw_deg": round(np.degrees(yaw), 1),
         "start_height": round(float(h[0]), 3),
         "end_height": round(float(h[-1]), 3),
@@ -175,26 +184,48 @@ def main():
             pol.dof_targets[:] = pol.full_default
         pol.reset = _reset
 
+    # drop categories (reference deploy_standup.py recovers from arbitrary
+    # falls): prone = face-down (pitch +), supine = face-up (pitch -),
+    # side = roll +-.  Angle jitter +-10 deg, yaw uniform.
     results = []
     rng = np.random.default_rng(0)
+    cats = ["prone", "supine", "side"]
     for k in range(args.drops):
-        pitch = np.deg2rad(85.0) * (1 if k % 2 == 0 else -1)
+        cat = cats[k % len(cats)]
+        ang = np.deg2rad(85.0 + float(rng.uniform(-10.0, 10.0)))
         yaw = float(rng.uniform(0, 2 * np.pi))
+        pitch, roll = 0.0, 0.0
+        if cat == "prone":
+            pitch = ang
+        elif cat == "supine":
+            pitch = -ang
+        else:
+            roll = ang * (1 if k % 2 == 0 else -1)
         rec = run_drop(mujoco, model, data, pol, tcfg, pitch, yaw,
-                       args.seconds)
+                       args.seconds, roll=roll, category=cat)
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
+    per_cat = {
+        c: {
+            "n": sum(r["category"] == c for r in results),
+            "success": sum(r["success"] for r in results
+                           if r["category"] == c),
+        }
+        for c in cats
+    }
     summary = {
         "model": args.model,
         "drops": results,
+        "per_category": per_cat,
         "n_success": sum(r["success"] for r in results),
         "n_drops": len(results),
     }
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"wrote {args.out}: {summary['n_success']}/{summary['n_drops']} "
-          f"successful get-ups", flush=True)
+          f"successful get-ups; per-category "
+          f"{json.dumps(per_cat)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -21,11 +21,33 @@ from booster_gym_tpu.utils.config import load_task_cfg
 from booster_gym_tpu.utils.recorder import load_checkpoint, resolve_checkpoint
 
 
+def _categorize(quat_wxyz):
+    """prone / supine / side / upright from the initial base orientation
+    (projected gravity in the base frame)."""
+    from booster_gym_tpu.math.quat import quat_rotate_inverse
+
+    g = np.asarray(quat_rotate_inverse(
+        jnp.asarray(quat_wxyz), jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, -1.0]), (quat_wxyz.shape[0], 3))))
+    cats = np.full(len(g), "side", dtype=object)
+    cats[np.abs(g[:, 0]) >= np.abs(g[:, 1])] = "pitch"
+    # pitched forward (face-down) has gravity along -x in the base frame
+    cats[(cats == "pitch") & (g[:, 0] < 0)] = "prone"
+    cats[cats == "pitch"] = "supine"
+    cats[g[:, 2] < -0.7] = "upright"
+    return cats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="-1")
     ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=8.0)
+    ap.add_argument("--bank-seed", type=int, default=None,
+                    help="rebuild the init bank from a FRESH seed "
+                         "(held-out drops, not the training bank)")
+    ap.add_argument("--out", default=None,
+                    help="write a JSON summary (per-category success)")
     args = ap.parse_args()
 
     cfg = load_task_cfg("T1Standup")
@@ -33,13 +55,21 @@ def main():
     cfg["noise"] = {}
     env = make_task(cfg)
     ppo = PPO(env, cfg)
-    env_params, ts = ppo.init(jax.random.PRNGKey(0))
+    if args.bank_seed is not None:
+        # held-out evaluation: fresh drop/settle seeds AND fresh reset
+        # draws — nothing shared with the training bank's PRNG stream
+        env_params = env.init_params(jax.random.PRNGKey(args.bank_seed))
+        reset_key = jax.random.PRNGKey(args.bank_seed + 1)
+    else:
+        env_params, _ = ppo.init(jax.random.PRNGKey(0))
+        reset_key = jax.random.PRNGKey(1)
     path = resolve_checkpoint(args.ckpt)
     print(f"loading {path}", flush=True)
     saved = load_checkpoint(path)
     params = saved["params"]
 
-    state, obs, info = env.reset_all(env_params, jax.random.PRNGKey(1))
+    state, obs, info = env.reset_all(env_params, reset_key)
+    cats = _categorize(np.asarray(state.sim.root_quat))
     step = jax.jit(env.step)
     act_fn = jax.jit(ppo.act)
     n = int(args.seconds / env.dt)
@@ -58,9 +88,27 @@ def main():
                   f"p90={np.percentile(u,90):.2f}", flush=True)
     h = heights[-1]
     u = upz[-1]
-    standing = ((h > 0.55) & (u > 0.9)).mean()
-    print(f"standing at t={args.seconds}s: {standing*100:.1f}% of {args.envs} "
-          f"envs", flush=True)
+    ok = (h > 0.55) & (u > 0.9)
+    print(f"standing at t={args.seconds}s: {ok.mean()*100:.1f}% of "
+          f"{args.envs} envs", flush=True)
+    per_cat = {}
+    for c in ("prone", "supine", "side", "upright"):
+        sel = cats == c
+        if sel.sum():
+            per_cat[c] = {"n": int(sel.sum()), "success": int(ok[sel].sum())}
+            print(f"  {c:8s}: {ok[sel].sum()}/{sel.sum()} "
+                  f"({ok[sel].mean()*100:.1f}%)", flush=True)
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump({
+                "ckpt": path, "envs": args.envs,
+                "seconds": args.seconds, "bank_seed": args.bank_seed,
+                "standing_rate": float(ok.mean()),
+                "per_category": per_cat,
+            }, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
