@@ -125,7 +125,7 @@ def make_terrain_sampler(terrain, num_points, interpret=False):
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(Bp // EB,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=pl.BlockSpec(
                     (EB, PX, PY), lambda s, *_: (s, 0, 0),
                     memory_space=pltpu.VMEM),
