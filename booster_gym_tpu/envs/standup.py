@@ -126,10 +126,32 @@ class T1Standup(T1):
         roll = jnp.where(use_pitch, 0.0, angle)
         pitch = jnp.where(use_pitch, angle, 0.0)
         yaw = jax.random.uniform(ks[3], (B,)) * 2 * jnp.pi
-        quat = quat_from_euler_xyz(roll, pitch, yaw)
         q = jnp.tile(self.default_dof_pos, (B, 1)) + jax.random.uniform(
             ks[4], (B, self.model.num_dofs), minval=-0.3, maxval=0.3)
+        # a quarter of the drops seed from a DEEP-SQUAT pose tipped
+        # forward 10-50 deg: they settle into kneeling-with-feet-tucked
+        # states — the rock-back-from-kneel rung the plain drops +
+        # standing ladder leave out.  With the MJCF (oracle-parity)
+        # collision capsules the kneel->squat transition is the
+        # bottleneck the round-5 probe exposed (median env stuck at
+        # h~0.26): curriculum by initialization has to cover it.
+        ks2 = jax.random.split(ks[4], 3)
+        tucked = jnp.arange(B) % 4 == 3
+        tip = jax.random.uniform(ks2[0], (B,), minval=jnp.deg2rad(10.0),
+                                 maxval=jnp.deg2rad(50.0))
+        pitch = jnp.where(tucked, tip, pitch)
+        roll = jnp.where(tucked, 0.0, roll)
+        q_squat = jnp.tile(self.default_dof_pos, (B, 1))
+        bend = {"Hip_Pitch": -1.4, "Knee_Pitch": 2.2, "Ankle_Pitch": -0.8}
+        depth = jax.random.uniform(ks2[1], (B, 1), minval=0.6, maxval=1.0)
+        names = self.model.dof_names
+        for j, nm in enumerate(names):
+            for joint_key, amount in bend.items():
+                if joint_key in nm:
+                    q_squat = q_squat.at[:, j].add(depth[:, 0] * amount)
+        q = jnp.where(tucked[:, None], q_squat, q)
         q = jnp.clip(q, self.dof_lower, self.dof_upper)
+        quat = quat_from_euler_xyz(roll, pitch, yaw)
         pos = jnp.concatenate(
             [self.env_origins[:, :2] + jnp.asarray(self.base_init_pos[:2]),
              jnp.full((B, 1), 0.5)], axis=-1)

@@ -40,7 +40,10 @@ def _categorize(quat_wxyz):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="-1")
+    ap.add_argument("--ckpt", default="-1",
+                    help="checkpoint path, -1 for newest, or a comma-"
+                         "separated list (probed in one process — TPU "
+                         "eager init is minutes, amortize it)")
     ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--bank-seed", type=int, default=None,
@@ -63,51 +66,57 @@ def main():
     else:
         env_params, _ = ppo.init(jax.random.PRNGKey(0))
         reset_key = jax.random.PRNGKey(1)
-    path = resolve_checkpoint(args.ckpt)
-    print(f"loading {path}", flush=True)
-    saved = load_checkpoint(path)
-    params = saved["params"]
-
-    state, obs, info = env.reset_all(env_params, reset_key)
-    cats = _categorize(np.asarray(state.sim.root_quat))
+    state0, obs0, info = env.reset_all(env_params, reset_key)
+    cats = _categorize(np.asarray(state0.sim.root_quat))
     step = jax.jit(env.step)
     act_fn = jax.jit(ppo.act)
     n = int(args.seconds / env.dt)
-    heights, upz = [], []
-    for i in range(n):
-        mu, _ = act_fn(params, obs)
-        state, obs, rew, done, info = step(env_params, state, mu)
-        if (i + 1) % int(1.0 / env.dt) == 0:
-            h = np.asarray(state.sim.root_pos[:, 2])
-            u = -np.asarray(state.projected_gravity[:, 2])
-            heights.append(h)
-            upz.append(u)
-            print(f"t={(i+1)*env.dt:4.1f}s  h: p25={np.percentile(h,25):.3f} "
-                  f"med={np.median(h):.3f} p75={np.percentile(h,75):.3f} "
-                  f"max={h.max():.3f} | up: med={np.median(u):.2f} "
-                  f"p90={np.percentile(u,90):.2f}", flush=True)
-    h = heights[-1]
-    u = upz[-1]
-    ok = (h > 0.55) & (u > 0.9)
-    print(f"standing at t={args.seconds}s: {ok.mean()*100:.1f}% of "
-          f"{args.envs} envs", flush=True)
-    per_cat = {}
-    for c in ("prone", "supine", "side", "upright"):
-        sel = cats == c
-        if sel.sum():
-            per_cat[c] = {"n": int(sel.sum()), "success": int(ok[sel].sum())}
-            print(f"  {c:8s}: {ok[sel].sum()}/{sel.sum()} "
-                  f"({ok[sel].mean()*100:.1f}%)", flush=True)
+
+    summaries = []
+    for ck in args.ckpt.split(","):
+        path = resolve_checkpoint(ck)
+        print(f"loading {path}", flush=True)
+        saved = load_checkpoint(path)
+        params = saved["params"]
+        state, obs = state0, obs0
+        heights, upz = [], []
+        for i in range(n):
+            mu, _ = act_fn(params, obs)
+            state, obs, rew, done, info = step(env_params, state, mu)
+            if (i + 1) % int(1.0 / env.dt) == 0:
+                h = np.asarray(state.sim.root_pos[:, 2])
+                u = -np.asarray(state.projected_gravity[:, 2])
+                heights.append(h)
+                upz.append(u)
+                print(f"t={(i+1)*env.dt:4.1f}s  h: p25={np.percentile(h,25):.3f} "
+                      f"med={np.median(h):.3f} p75={np.percentile(h,75):.3f} "
+                      f"max={h.max():.3f} | up: med={np.median(u):.2f} "
+                      f"p90={np.percentile(u,90):.2f}", flush=True)
+        h = heights[-1]
+        u = upz[-1]
+        ok = (h > 0.55) & (u > 0.9)
+        print(f"[{path}] standing at t={args.seconds}s: "
+              f"{ok.mean()*100:.1f}% of {args.envs} envs", flush=True)
+        per_cat = {}
+        for c in ("prone", "supine", "side", "upright"):
+            sel = cats == c
+            if sel.sum():
+                per_cat[c] = {"n": int(sel.sum()),
+                              "success": int(ok[sel].sum())}
+                print(f"  {c:8s}: {ok[sel].sum()}/{sel.sum()} "
+                      f"({ok[sel].mean()*100:.1f}%)", flush=True)
+        summaries.append({
+            "ckpt": path, "envs": args.envs,
+            "seconds": args.seconds, "bank_seed": args.bank_seed,
+            "standing_rate": float(ok.mean()),
+            "per_category": per_cat,
+        })
     if args.out:
         import json
 
         with open(args.out, "w") as f:
-            json.dump({
-                "ckpt": path, "envs": args.envs,
-                "seconds": args.seconds, "bank_seed": args.bank_seed,
-                "standing_rate": float(ok.mean()),
-                "per_category": per_cat,
-            }, f, indent=1)
+            json.dump(summaries[-1] if len(summaries) == 1
+                      else {"probes": summaries}, f, indent=1)
         print(f"wrote {args.out}", flush=True)
 
 

@@ -10,9 +10,12 @@ from booster_gym_tpu.utils.config import load_task_cfg
 
 iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 dtype = sys.argv[2] if len(sys.argv) > 2 else "bf16"
-out = sys.argv[3] if len(sys.argv) > 3 else f"benchmarks/reward_curve_flat_{dtype}.jsonl"
+terrain = sys.argv[4] if len(sys.argv) > 4 else "plane"
+name = "flat" if terrain == "plane" else "rough"
+out = (sys.argv[3] if len(sys.argv) > 3 and sys.argv[3] != "-"
+       else f"benchmarks/reward_curve_{name}_{dtype}.jsonl")
 cfg = load_task_cfg("T1")
-cfg["terrain"]["type"] = "plane"
+cfg["terrain"]["type"] = terrain
 cfg["algorithm"]["compute_dtype"] = dtype
 env = make_task(cfg)
 ppo = PPO(env, cfg)
