@@ -182,91 +182,85 @@ def run_bench():
         file=sys.stderr,
     )
     phases = _phase_split(jax, env, ppo, env_params, ts,
-                          t_iter_ms=dt / iters * 1000.0)
+                          t_iter_ms=dt / iters * 1000.0, step=step)
     emit(per_chip, {"phases_ms": phases} if phases else None)
 
 
-def _phase_split(jax, env, ppo, env_params, ts, t_iter_ms):
-    """Per-phase attribution (VERDICT r3 #8, r4 #5): time rollout / update /
-    physics-inner-loop sub-programs so round-over-round regressions are
-    attributable from the driver artifact alone.
+def _phase_split(jax, env, ppo, env_params, ts, t_iter_ms, step):
+    """Per-phase attribution (VERDICT r3 #8, r4 #5): ADDITIVE by
+    construction — the phases come from ONE xplane device trace of the
+    production step, not from separately dispatched sub-programs (round 4
+    double-counted ~6 ms of tunnel dispatch; a measuring lax.scan adds
+    carry copies).  The device timeline nests as
 
-    ADDITIVE by construction (round-5 fix): each phase runs N_REP times
-    inside ONE lax.scan device program, so the ~2-4 ms tunnel dispatch
-    latency divides by N_REP instead of being counted once per phase
-    (the round-4 split summed to iter + ~6 ms).  The residual
-    iter - rollout - update is reported as its own "dispatch" line —
-    host dispatch plus the train_iteration metric tail; the invariant is
-    rollout + update + dispatch == iter within ~1 ms.  Diagnostics only —
+        jit_train_iteration
+          rollout while          (contains the physics inner while)
+          update while           (the mini-epoch scan)
+          other = iter_dev - rollout - update   (peeled epoch 0 + metrics)
+        dispatch = wall iter - iter_dev
+
+    so rollout + update + other + dispatch == iter by construction; the
+    physics/env_layer lines split the rollout line the same way.  Ops are
+    classified structurally: the rollout while carries the [B, 3] root
+    state, the physics inner while carries [..., 8, 128] packed planes,
+    the update while is the remaining top-level scan.  Diagnostics only —
     any failure is reported and swallowed."""
-    import time as _time
-
-    import jax.numpy as jnp
-
-    N_REP = 10
-
-    def _time_fn(fn, *args):
-        out = fn(*args)               # compile + warm
-        jax.block_until_ready(jax.tree.leaves(out))
-        t0 = _time.time()
-        out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out))
-        return (_time.time() - t0) / N_REP * 1000.0
+    import glob
+    import tempfile
+    from collections import defaultdict
 
     try:
-        horizon = ppo.horizon
+        n_tr = 3
+        tdir = tempfile.mkdtemp(prefix="bench_trace_")
+        ts2 = ts
+        with jax.profiler.trace(tdir):
+            for _ in range(n_tr):
+                ts2, metrics = step(env_params, ts2)
+            jax.block_until_ready(metrics)
 
-        def rollout_n(p, ts0):
-            def body(c, _):
-                carry, _buf = ppo.rollout(p, c)
-                (env_state, obs, priv, key, ep_sums, ep_steps, *_f) = carry
-                return c.replace(env_state=env_state, obs=obs,
-                                 privileged_obs=priv, key=key,
-                                 episode_sums=ep_sums,
-                                 episode_steps=ep_steps), None
-            return jax.lax.scan(body, ts0, None, length=N_REP)[0]
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-        t_roll = _time_fn(jax.jit(rollout_n), env_params, ts)
-        carry, buf = jax.jit(ppo.rollout)(env_params, ts)
+        files = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.xplane.pb"))
+        space = xplane_pb2.XSpace()
+        with open(files[-1], "rb") as f:
+            space.ParseFromString(f.read())
+        agg = defaultdict(float)
+        cnt = defaultdict(int)
+        for plane in space.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    md = plane.event_metadata[ev.metadata_id]
+                    agg[md.name] += ev.duration_ps / 1e6 / n_tr
+                    cnt[md.name] += 1
 
-        def update_n(ts0, carry0, buf0):
-            def body(c, _):
-                (params, opt_state, lr), _stats = ppo.update(
-                    ts0.replace(params=c[0], opt_state=c[1], lr=c[2]),
-                    carry0, buf0)
-                return (params, opt_state, lr), None
-            return jax.lax.scan(
-                body, (ts0.params, ts0.opt_state, ts0.lr), None,
-                length=N_REP)[0]
-
-        t_upd = _time_fn(jax.jit(update_n), ts, carry, buf)
-        phases = {"iter": round(t_iter_ms, 2),
-                  "rollout": round(t_roll, 2),
-                  "update": round(t_upd, 2),
-                  "dispatch": round(t_iter_ms - t_roll - t_upd, 2)}
-        if env.pallas_backend:
-            s = ts.env_state
-            B = s.sim.q.shape[0]
-            zeros3 = jnp.zeros((B, 3))
-
-            # rollout sub-split (informational, inside the rollout line):
-            # one dispatch for all horizon x N_REP inner-loop calls
-            def phys_iter(p, st):
-                def body(c, _):
-                    out = env._physics_inner_loop_packed(
-                        p, c, c.last_dof_targets, zeros3, zeros3)
-                    return c.replace(sim=out[0]), None
-                return jax.lax.scan(body, st, None,
-                                    length=horizon * N_REP)[0]
-
-            t_phys = _time_fn(jax.jit(phys_iter), env_params, s)
-            phases["physics"] = round(t_phys, 2)
-            phases["env_layer"] = round(t_roll - t_phys, 2)
-        print(f"phase split (ms/iter): {phases}  "
-              f"[additive: rollout+update+dispatch = "
-              f"{phases['rollout'] + phases['update'] + phases['dispatch']:.2f}"
-              f" vs iter {phases['iter']:.2f}; physics/env_layer split the"
-              f" rollout line]", file=sys.stderr)
+        B = int(ts.obs.shape[0])
+        iter_dev = max((v for k, v in agg.items()
+                        if k.startswith("jit_train_iteration")), default=0.0)
+        if iter_dev <= 0.0:
+            raise RuntimeError("no TPU plane in trace (CPU run?)")
+        whiles = sorted(((v, k) for k, v in agg.items()
+                         if k.startswith("%while")), reverse=True)[:6]
+        roll_w = next((v for v, k in whiles if f"[{B},3]" in k), 0.0)
+        phys_w = next((v for v, k in whiles if ",8,128]" in k), 0.0)
+        upd_w = next((v for v, k in whiles
+                      if f"[{B},3]" not in k and ",8,128]" not in k), 0.0)
+        phases = {
+            "iter": round(t_iter_ms, 2),
+            "rollout": round(roll_w / 1000.0, 2),
+            "update": round(upd_w / 1000.0, 2),
+            "other": round((iter_dev - roll_w - upd_w) / 1000.0, 2),
+            "dispatch": round(t_iter_ms - iter_dev / 1000.0, 2),
+            "physics": round(phys_w / 1000.0, 2),
+            "env_layer": round((roll_w - phys_w) / 1000.0, 2),
+        }
+        total = (phases["rollout"] + phases["update"] + phases["other"]
+                 + phases["dispatch"])
+        print(f"phase split (ms/iter, device-trace): {phases}  "
+              f"[additive: rollout+update+other+dispatch = {total:.2f} vs "
+              f"iter {phases['iter']:.2f}; physics/env_layer split the "
+              f"rollout line]", file=sys.stderr)
         return phases
     except Exception as e:  # noqa: BLE001 - diagnostics must never fail bench
         print(f"phase split skipped: {type(e).__name__}: {e}",

@@ -89,6 +89,13 @@ class PPO:
         # plain jax.grad of the loss.  Numerics match to bf16 rounding
         # (tests/test_update_kernel.py).
         self.update_backend = acfg.get("update_backend", "fused")
+        # exploration floor for sparse/discovery tasks (standup): clamp
+        # the learned logstd after each optimizer step.  The walk tasks
+        # leave it unset (reference has no such clamp).  PPO's entropy
+        # collapse at converged sigma is what ends get-up discovery —
+        # round-5 standup scalars: entropy -24 by iteration 5k, success
+        # plateaus right after.
+        self.min_logstd = acfg.get("min_logstd")
         # tile sweep on v5e at 4096 envs x 24 horizon: 1024 -> 36 ms,
         # 2048 -> 33.2 ms, 4096 -> 32.5 ms, 8192 -> VMEM OOM
         self.update_tile = acfg.get("update_tile", 4096)
@@ -300,7 +307,13 @@ class PPO:
                 stg, prep["obscG"], rew_buf, nonterm, timeout_f,
                 self.gamma, self.lam)
             # Bessel-corrected normalization stats (torch .std()); the
-            # normalize itself happens inside the gradient kernel
+            # normalize itself happens inside the gradient kernel.  The
+            # one-pass formula (s_a2 - N*mean^2) is cancellation-prone
+            # when |mean| >> std — PPO advantages are near-zero-mean by
+            # construction (GAE residuals), so the f32 error stays ~ulp;
+            # the max() guards the residual negative-zero case.  If
+            # normalization drift is ever suspected, the XLA twin
+            # (update_backend: xla) computes the two-pass std for A/B.
             mean = s_a / N
             var = (s_a2 - N * mean * mean) / (N - 1)
             rstd = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
@@ -341,6 +354,12 @@ class PPO:
                 entropy_coef=self.entropy_coef, b1=self.adam_b1,
                 b2=self.adam_b2, eps=self.adam_eps,
                 max_norm=self.grad_norm_clip)
+            if self.min_logstd is not None:
+                p2[-1] = jnp.maximum(p2[-1], self.min_logstd)
+                # the staged dict's logstd feeds the NEXT epoch's gradient
+                # kernel — it must be the clamped leaf, not the kernel's
+                # raw output
+                stg2 = {**stg2, "logstd": p2[-1]}
             cmax = jnp.iinfo(jnp.int32).max
             cnt2 = jnp.where(cnt < cmax, cnt + 1, cnt)
 
@@ -388,6 +407,9 @@ class PPO:
                 hyperparams={**opt_state[1].hyperparams, "learning_rate": lr})
             updates, opt_state2 = self.tx.update(grads, (opt_state[0], inject), params)
             params2 = optax.apply_updates(params, updates)
+            if self.min_logstd is not None:
+                params2["params"]["logstd"] = jnp.maximum(
+                    params2["params"]["logstd"], self.min_logstd)
 
             kl_mean = jnp.mean(normal_kl(mu_buf, std_buf, mu, std))
             lr2 = jnp.where(

@@ -410,6 +410,18 @@ class T1Standup(T1):
         gate = jnp.clip(-state.projected_gravity[:, 2], 0.0, 1.0)
         return jnp.exp(-err) * gate
 
+    def _reward_standup_feet_load(self, params, state):
+        # fraction of body weight carried by the FEET (vertical contact
+        # force sum / m*g, clipped to 1).  The kneel->stand valley: from a
+        # kneel, rocking back onto the feet first LOWERS the trunk, so the
+        # height/upright terms pay nothing until the robot is most of the
+        # way up — this term pays for shifting load onto the feet while
+        # still low, bridging the rock-back the round-5 probes showed the
+        # policy never discovers (median env parked at kneel h~0.25).
+        fz = jnp.sum(state.contact_forces[:, self.feet_indices, 2], axis=-1)
+        weight = 9.81 * jnp.sum(params.dyn.body_mass, axis=-1)
+        return jnp.clip(fz / weight, 0.0, 1.0)
+
     def _reward_standup_success(self, params, state):
         h = state.sim.root_pos[:, 2] - state.terrain_height_root
         up = state.projected_gravity[:, 2] < -0.9

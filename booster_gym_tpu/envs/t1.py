@@ -88,7 +88,10 @@ class T1:
         self.sim_dt = cfg["sim"]["dt"]
         self.dt = self.decimation * self.sim_dt  # envs/t1.py:191
 
-        self.model = load_urdf(_resolve_asset(cfg["asset"]["file"]))
+        self.model = load_urdf(
+            _resolve_asset(cfg["asset"]["file"]),
+            cylinder_rim_points=int(cfg["asset"].get(
+                "cylinder_rim_points", 6)))
         if cfg["asset"].get("collision_source") == "mjcf":
             # sample contact points from the MJCF collision geoms instead
             # of the URDF primitives: contact-geometry parity with the

@@ -153,7 +153,7 @@ def _parse_shapes(link_elem):
     return shapes
 
 
-def _shape_points(kind, pos, R, params):
+def _shape_points(kind, pos, R, params, rim_points=CYLINDER_RIM_POINTS):
     """Sample points (in body frame) + per-point radius for one shape."""
     if kind == "box":
         sx, sy, sz = params / 2.0
@@ -164,7 +164,7 @@ def _shape_points(kind, pos, R, params):
         return pts, np.zeros(len(pts))
     if kind == "cylinder":
         r, length = params
-        angles = 2 * np.pi * np.arange(CYLINDER_RIM_POINTS) / CYLINDER_RIM_POINTS
+        angles = 2 * np.pi * np.arange(rim_points) / rim_points
         ring = np.stack([r * np.cos(angles), r * np.sin(angles), np.zeros_like(angles)], axis=-1)
         pts = np.concatenate([ring + [0, 0, length / 2], ring + [0, 0, -length / 2]])
         pts = pos + pts @ R.T
@@ -174,8 +174,14 @@ def _shape_points(kind, pos, R, params):
     raise ValueError(kind)
 
 
-def load_urdf(path):
-    """Parse a URDF into a RobotModel with fixed joints collapsed."""
+def load_urdf(path, cylinder_rim_points=CYLINDER_RIM_POINTS):
+    """Parse a URDF into a RobotModel with fixed joints collapsed.
+
+    cylinder_rim_points sets the contact-sample density of cylinder cap
+    rims (asset.cylinder_rim_points in task configs).  The contact solve's
+    VPU cost scales with the total point count; 4 rim points (vs the
+    historical 6) drop the walk model from 72 to 56 points while keeping
+    the same cap-circle coverage the solver sweeps actually use."""
     root = ET.parse(path).getroot()
 
     links = {}
@@ -295,7 +301,8 @@ def load_urdf(path):
         # inertia about com from inertia about body origin
         body_inertia[i] = acc["inertia"] + m * (cx @ cx)
         for kind, spos, sR, params in acc["shapes"]:
-            pts, radii = _shape_points(kind, spos, sR, params)
+            pts, radii = _shape_points(kind, spos, sR, params,
+                                       rim_points=cylinder_rim_points)
             point_body.extend([i] * len(pts))
             point_pos.append(pts)
             point_radius.append(radii)
