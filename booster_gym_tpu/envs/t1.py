@@ -237,9 +237,11 @@ class T1:
         if self.pallas_backend:
             interpret = {"pallas_interpret": True,
                          "pallas_emulate": "emulate"}.get(backend, False)
+            # flat terrain: specialize the kernel (h=0, n=z baked in) —
+            # drops the per-substep ph/pn inputs + ptxy output DMA
             return make_substep_pallas(
                 self.model, self.sim_cfg, feet_indices=self.feet_indices,
-                interpret=interpret)
+                interpret=interpret, plane=self.terrain.type == "plane")
         return make_substep(
             self.model, self.sim_cfg, self.terrain, feet_indices=self.feet_indices)
 
@@ -457,8 +459,12 @@ class T1:
         p_delay = pack(delay_steps.astype(jnp.int32)[:, None], 1)
         p_ext = pack(jnp.concatenate([push_f_w, push_t_w], axis=-1), 6)
         p_ext0 = jnp.zeros_like(p_ext)
-        ph = pack(point_heights, self.model.num_points)
-        pn = pack(point_normals.reshape(B, -1), self.model.num_points * 3)
+        plane = getattr(sub, "plane", False)
+        if plane:
+            ph = pn = None  # baked into the kernel — no terrain DMA
+        else:
+            ph = pack(point_heights, self.model.num_points)
+            pn = pack(point_normals.reshape(B, -1), self.model.num_points * 3)
         lim = jnp.asarray(self.torque_limits)[:, None, None, None]
 
         def body(carry, i):
@@ -485,7 +491,12 @@ class T1:
         feet = sub.unpack(pfeet_seq[-1], B).reshape(B, nf, 12)
         feet_pos = feet[:, :, 0:3]
         feet_R = feet[:, :, 3:12].reshape(B, nf, 3, 3)
-        pt_xy = sub.unpack(pptxy_seq[-1], B).reshape(B, self.model.num_points, 2)
+        if plane:
+            # unused on flat terrain (terrain_sampler is None); see step()
+            pt_xy = jnp.zeros((B, self.model.num_points, 2))
+        else:
+            pt_xy = sub.unpack(pptxy_seq[-1], B).reshape(
+                B, self.model.num_points, 2)
         return sim, last_targets, torques, forces, feet_pos, feet_R, pt_xy
 
     # ------------------------------------------------------------------

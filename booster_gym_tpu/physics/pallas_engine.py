@@ -215,7 +215,8 @@ class _EmuOutRef:
         return jnp.stack(rows).astype(self.dtype)[:, None]
 
 
-def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
+def make_substep_pallas(model, cfg, feet_indices=None, interpret=False,
+                        plane=False):
     """Plane-terrain Pallas substep with the same semantics/signature as
     engine.make_substep(model, cfg, plane_terrain).
 
@@ -227,7 +228,16 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
     emulated grid (one iteration per grid step, block refs shimmed), which
     XLA compiles like the engine.py path — the program the TPU kernel runs,
     validated cheaply on CPU (used by __graft_entry__.dryrun_multichip for
-    the sharded 512-envs/device check)."""
+    the sharded 512-envs/device check).
+
+    plane=True bakes h=0, n=(0,0,1) into the kernel instead of taking
+    per-point terrain height/normal INPUTS and emitting the contact-point-
+    xy OUTPUT: numerically identical to the general kernel fed plane
+    constants (tests/test_pallas_small.py asserts exact equality), but it
+    drops ~5.5 MB of per-substep DMA at 4096 envs (ph/pn in, ptxy out)
+    and the per-point normal-projection VPU work — the flat-terrain
+    production configuration (round-5 flat bench: physics 10.95 ms/iter of
+    a 37.4 ms iteration before this specialization)."""
     nb, nd = model.num_bodies, model.num_dofs
     if feet_indices is None:
         feet_indices = [i for i, n in enumerate(model.body_names) if "foot" in n]
@@ -254,10 +264,19 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
     dt = cfg.dt
     gvec = cfg.gravity_arr
 
-    def kernel(rp_ref, rq_ref, v0_ref, w0_ref, q_ref, qd_ref,
-               mass_ref, com_ref, in6_ref, fric_ref, rest_ref,
-               tau_ref, ext_ref, h_ref, n_ref,
-               o_rp, o_rq, o_v0, o_w0, o_q, o_qd, o_f, o_feet, o_ptxy):
+    def kernel(*refs):
+        if plane:
+            (rp_ref, rq_ref, v0_ref, w0_ref, q_ref, qd_ref,
+             mass_ref, com_ref, in6_ref, fric_ref, rest_ref,
+             tau_ref, ext_ref,
+             o_rp, o_rq, o_v0, o_w0, o_q, o_qd, o_f, o_feet) = refs
+            h_ref = n_ref = o_ptxy = None
+        else:
+            (rp_ref, rq_ref, v0_ref, w0_ref, q_ref, qd_ref,
+             mass_ref, com_ref, in6_ref, fric_ref, rest_ref,
+             tau_ref, ext_ref, h_ref, n_ref,
+             o_rp, o_rq, o_v0, o_w0, o_q, o_qd, o_f, o_feet,
+             o_ptxy) = refs
         read = lambda ref, k: ref[k, 0]
         p0 = tuple(read(rp_ref, k) for k in range(3))
         quat = tuple(read(rq_ref, k) for k in range(4))
@@ -484,11 +503,13 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             wp = v_add(pos[b], m_vec(R[b], lp))
             pt_pos.append(wp)
             pt_r.append(v_sub(wp, p0))
-            h_p = read(h_ref, p)
-            d = h_p + float(point_radius[p]) - wp[2]
+            # plane mode: h = 0 and n = z baked in (no ph/pn inputs)
+            d = (float(point_radius[p]) - wp[2] if plane
+                 else read(h_ref, p) + float(point_radius[p]) - wp[2])
             pt_depth.append(d)
             pt_active.append((d > -cfg.contact_margin).astype(jnp.float32))
-            pt_n.append(tuple(read(n_ref, 3 * p + k) for k in range(3)))
+            pt_n.append(None if plane
+                        else tuple(read(n_ref, 3 * p + k) for k in range(3)))
 
         counts = []
         for b in range(nb):
@@ -573,13 +594,16 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             mu.append(0.5 * (read(fric_ref, sh) + cfg.terrain_friction))
             rest.append(0.5 * (read(rest_ref, sh) + cfg.terrain_restitution))
             nrm = pt_n[p]
-            vn_pre = v_dot(point_vel(v_free_bodies, p), nrm)
+            vn_pre = (point_vel(v_free_bodies, p)[2] if plane
+                      else v_dot(point_vel(v_free_bodies, p), nrm))
             pushout = jnp.minimum(
                 cfg.baumgarte * jnp.maximum(pt_depth[p] - cfg.contact_slop, 0.0) / dt,
                 cfg.max_pushout_vel)
             bounce = jnp.where(vn_pre < -cfg.bounce_threshold, -rest[p] * vn_pre, 0.0)
             s_n = jnp.maximum(pushout, bounce)
-            vt_z.append(v_scale(nrm, s_n))  # full target velocity vector
+            # plane mode: the target velocity is purely vertical — keep the
+            # scalar; general mode keeps the full vector along the normal
+            vt_z.append(s_n if plane else v_scale(nrm, s_n))
 
         lam = [(z, z, z) for _ in range(npt)]
 
@@ -609,13 +633,26 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             new_lam = []
             for p in range(npt):
                 vp = point_vel(vb, p)
-                vt = vt_z[p]
-                dv = (vt[0] - vp[0], vt[1] - vp[1], vt[2] - vp[2])
+                if plane:
+                    dv = (-vp[0], -vp[1], vt_z[p] - vp[2])
+                else:
+                    vt = vt_z[p]
+                    dv = (vt[0] - vp[0], vt[1] - vp[1], vt[2] - vp[2])
                 Di = Dinv[p]
                 dl = tuple(
                     Di[i][0] * dv[0] + Di[i][1] * dv[1] + Di[i][2] * dv[2]
                     for i in range(3))
                 l_new = tuple(lam[p][k] + cfg.relaxation * dl[k] for k in range(3))
+                a_p = pt_active[p]
+                if plane:
+                    # friction-cone projection about z (normal baked in)
+                    ln = jnp.maximum(l_new[2], 0.0)
+                    lt = jnp.sqrt(l_new[0] ** 2 + l_new[1] ** 2 + 1e-18)
+                    scale = jnp.minimum(1.0, mu[p] * ln / lt)
+                    new_lam.append((l_new[0] * scale * a_p,
+                                    l_new[1] * scale * a_p,
+                                    ln * a_p))
+                    continue
                 # friction-cone projection about the terrain normal
                 nrm = pt_n[p]
                 ldn = v_dot(l_new, nrm)
@@ -623,7 +660,6 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
                 lt_vec = v_sub(l_new, v_scale(nrm, ldn))
                 lt = jnp.sqrt(lt_vec[0] ** 2 + lt_vec[1] ** 2 + lt_vec[2] ** 2 + 1e-18)
                 scale = jnp.minimum(1.0, mu[p] * ln / lt)
-                a_p = pt_active[p]
                 new_lam.append(tuple(
                     (nrm[k] * ln + lt_vec[k] * scale) * a_p for k in range(3)))
             lam = new_lam
@@ -677,10 +713,11 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             for k in range(9):
                 o_feet[12 * fi + 3 + k, 0] = R[b][k]
         # contact-point xy for the env's terrain gather feeding the next
-        # substep's h/n inputs
-        for p in range(npt):
-            o_ptxy[2 * p, 0] = pt_pos[p][0]
-            o_ptxy[2 * p + 1, 0] = pt_pos[p][1]
+        # substep's h/n inputs (general mode only; plane needs no gather)
+        if not plane:
+            for p in range(npt):
+                o_ptxy[2 * p, 0] = pt_pos[p][0]
+                o_ptxy[2 * p + 1, 0] = pt_pos[p][1]
 
     # ------------------------------------------------------------------
     def pack(x, comp):
@@ -731,12 +768,15 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
                 pack(dyn.shape_friction, dyn.shape_friction.shape[1]),
                 pack(dyn.shape_restitution, dyn.shape_restitution.shape[1]))
 
-    def packed_call(psim, pdyn, ptau, pext, ph, pn):
+    def packed_call(psim, pdyn, ptau, pext, ph=None, pn=None):
         """Fully packed kernel invocation: everything in [comp, G, 8, 128].
         Returns (psim', pforces, pfeet, pptxy) still packed — the fast inner
-        loop keeps state packed across all substeps."""
+        loop keeps state packed across all substeps.  In plane mode ph/pn
+        must be omitted and pptxy comes back as None (no terrain DMA)."""
         G = psim[0].shape[1]
-        args = list(psim) + list(pdyn) + [ptau, pext, ph, pn]
+        args = list(psim) + list(pdyn) + [ptau, pext]
+        if not plane:
+            args += [ph, pn]
         out_shapes = [
             jax.ShapeDtypeStruct((3, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((4, G, 8, 128), jnp.float32),
@@ -746,8 +786,10 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
             jax.ShapeDtypeStruct((nd, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb * 3, G, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nf * 12, G, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((npt * 2, G, 8, 128), jnp.float32),
         ]
+        if not plane:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((npt * 2, G, 8, 128), jnp.float32))
 
         def spec(comp):
             return pl.BlockSpec((comp, 1, 8, 128), lambda i: (0, i, 0, 0),
@@ -780,13 +822,19 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
                     dimension_semantics=("arbitrary",),
                     vmem_limit_bytes=64 * 1024 * 1024),
             )(*args)
-        return tuple(outs[:6]), outs[6], outs[7], outs[8]
+        return (tuple(outs[:6]), outs[6], outs[7],
+                None if plane else outs[8])
 
     def step_terrain(state: SimState, dyn, tau, ext_force, ext_torque,
                      point_heights, point_normals):
         """General form: per-point terrain heights [B, npt] and normals
         [B, npt, 3] as inputs; also returns the contact-point xy [B, npt, 2]
-        for the caller's terrain gather feeding the next substep."""
+        for the caller's terrain gather feeding the next substep.  Not
+        available when the kernel was specialized with plane=True."""
+        if plane:
+            raise ValueError(
+                "terrain_form is unavailable on a plane-specialized kernel; "
+                "build make_substep_pallas(..., plane=False) for trimesh")
         B = state.q.shape[0]
         psim, pforces, pfeet, pptxy = packed_call(
             pack_sim(state), pack_dyn(dyn), pack(tau, nd),
@@ -804,11 +852,21 @@ def make_substep_pallas(model, cfg, feet_indices=None, interpret=False):
     def step(state: SimState, dyn, tau, ext_force, ext_torque):
         """Plane-terrain form matching engine.make_substep's signature."""
         B = state.q.shape[0]
+        if plane:
+            psim, pforces, pfeet, _ = packed_call(
+                pack_sim(state), pack_dyn(dyn), pack(tau, nd),
+                pack(jnp.concatenate([ext_force, ext_torque], axis=-1), 6))
+            new_state = unpack_sim(psim, B)
+            forces = unpack(pforces, B).reshape(B, nb, 3)
+            feet = unpack(pfeet, B).reshape(B, nf, 12)
+            return (new_state, forces, feet[:, :, 0:3],
+                    feet[:, :, 3:12].reshape(B, nf, 3, 3))
         h = jnp.zeros((B, npt))
         n = jnp.zeros((B, npt, 3)).at[:, :, 2].set(1.0)
         out = step_terrain(state, dyn, tau, ext_force, ext_torque, h, n)
         return out[0], out[1], out[2], out[3]
 
+    step.plane = plane
     step.terrain_form = step_terrain
     step.packed_call = packed_call
     step.pack_sim = pack_sim

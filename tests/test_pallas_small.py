@@ -131,6 +131,32 @@ def test_padding_consistent_with_exact_tile(toy):
             np.asarray(getattr(s_full, name))[:100], rtol=1e-6, atol=1e-6)
 
 
+def test_plane_specialization_exact(toy):
+    """plane=True (h=0, n=z baked in, no ph/pn/ptxy DMA) is numerically
+    identical to the general kernel fed plane constants: every plane-mode
+    shortcut (vn_pre = v_z, scalar vertical target, z-cone projection)
+    reduces to the general formula's multiply-by-zero/one terms, which are
+    exact in f32."""
+    model, cfg, _, pallas_step = toy
+    raw = make_substep_pallas(model, cfg, interpret=True, plane=True)
+    assert raw.plane
+    plane_step = jit_nofusion(raw)
+    inputs = _rand_inputs(model, 64, seed=4)
+    s_g, f_g, fp_g, fR_g = pallas_step(*inputs)
+    s_p, f_p, fp_p, fR_p = plane_step(*inputs)
+    for name in ("root_pos", "root_quat", "root_lin_vel", "root_ang_vel",
+                 "q", "qd"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_p, name)), np.asarray(getattr(s_g, name)),
+            err_msg=name)
+    np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_g))
+    np.testing.assert_array_equal(np.asarray(fp_p), np.asarray(fp_g))
+    np.testing.assert_array_equal(np.asarray(fR_p), np.asarray(fR_g))
+    # terrain_form is a trimesh-only surface
+    with pytest.raises(ValueError):
+        raw.terrain_form(*inputs, None, None)
+
+
 def test_shard_map_pallas(toy):
     """The kernel under shard_map over 8 devices (13 envs/device, padded
     in-kernel) matches the unsharded run — the multi-chip physics path."""
