@@ -132,6 +132,16 @@ class StandupPolicy:
         self.first_inference = True
         self._mirror_obs = mirror_obs_matrix()
         self._mirror_act = mirror_act_matrix()
+        # Reference interface mirror-averages the two lateral reflections
+        # (deploy/utils/standup_policy.py:152-170) — correct ONLY for a
+        # mirror-equivariant policy, where it is a variance reducer.  Our
+        # shipped artifact learned an ASYMMETRIC get-up (a lateral roll);
+        # averaging cancels the antisymmetric action components and parks
+        # the robot in a symmetric tuck (in-engine wrapper probe: 25%
+        # stand with averaging vs 100% without — tools/
+        # standup_wrapper_probe.py).  The artifact's deploy config
+        # therefore ships standup_mirror_average: false.
+        self.mirror_average = bool(pcfg.get("standup_mirror_average", True))
 
     def inference(self, time_now, dof_pos, dof_vel, base_ang_vel, projected_gravity,
                   vx=0.0, vy=0.0, vyaw=0.0):
@@ -157,14 +167,18 @@ class StandupPolicy:
                 torch.from_numpy(obs[None]),
                 torch.from_numpy(self.stacked_obs[None]),
             ).squeeze(0).numpy()
-            m_obs = obs @ self._mirror_obs.T
-            m_stack = self.stacked_obs @ self._mirror_obs.T
-            a2_raw = self.module(
-                torch.from_numpy(m_obs[None].astype(np.float32)),
-                torch.from_numpy(m_stack[None].astype(np.float32)),
-            ).squeeze(0).numpy()
-        a2 = a2_raw @ self._mirror_act.T
-        final = 0.5 * (a1 + a2)
+            if self.mirror_average:
+                m_obs = obs @ self._mirror_obs.T
+                m_stack = self.stacked_obs @ self._mirror_obs.T
+                a2_raw = self.module(
+                    torch.from_numpy(m_obs[None].astype(np.float32)),
+                    torch.from_numpy(m_stack[None].astype(np.float32)),
+                ).squeeze(0).numpy()
+        if self.mirror_average:
+            a2 = a2_raw @ self._mirror_act.T
+            final = 0.5 * (a1 + a2)
+        else:
+            final = a1
         self.actions[:] = np.clip(
             final, -n["standup_clip_actions"], n["standup_clip_actions"])
 

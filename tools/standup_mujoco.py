@@ -172,10 +172,7 @@ def main():
     data = mujoco.MjData(model)
     pol = StandupPolicy(dcfg, policy_path=args.model)
     if args.no_mirror:
-        import numpy as _np
-
-        pol._mirror_obs = _np.eye(42, dtype=_np.float32)
-        pol._mirror_act = _np.eye(12, dtype=_np.float32)
+        pol.mirror_average = False
     if not hasattr(pol, "reset"):
         # wrapper resets by re-arming first_inference
         def _reset():
@@ -216,6 +213,7 @@ def main():
     }
     summary = {
         "model": args.model,
+        "mirror_average": bool(pol.mirror_average),
         "drops": results,
         "per_category": per_cat,
         "n_success": sum(r["success"] for r in results),

@@ -54,8 +54,7 @@ def main():
     for _ in range(args.envs):
         p = StandupPolicy(dcfg, policy_path=args.model)
         if args.no_mirror:
-            p._mirror_obs = np.eye(42, dtype=np.float32)
-            p._mirror_act = np.eye(12, dtype=np.float32)
+            p.mirror_average = False
         pols.append(p)
 
     idx = env.action_indices
@@ -92,7 +91,7 @@ def main():
     standing = ((h > 0.55) & (u > 0.9)).mean()
     print(f"wrapper-in-engine standing at t={args.seconds}s: "
           f"{standing*100:.0f}% of {args.envs} envs "
-          f"({'no-mirror' if args.no_mirror else 'mirror-averaged'})",
+          f"({'mirror-averaged' if pols[0].mirror_average else 'no-mirror'})",
           flush=True)
 
 
