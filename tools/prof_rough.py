@@ -38,7 +38,7 @@ rec = {"metric": "rough_env_steps_per_sec_per_chip", "num_envs": B,
        "terrain": "trimesh", "ms_per_iter": round(t_iter, 2),
        "value": round(steps, 1), "backend": jax.default_backend()}
 out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "benchmarks", "rough_r04.json")
+                   "benchmarks", "rough_r05.json")
 with open(out, "w") as f:
     json.dump(rec, f, indent=1)
 print(f"wrote {out}: {json.dumps(rec)}", flush=True)
