@@ -12,7 +12,10 @@ TASKS = {"T1": T1, "T1Serial": T1, "T1Standup": T1Standup}
 
 
 def make_task(cfg):
-    name = cfg["basic"]["task"]
+    # basic.env_class lets a derived config file (its own task name /
+    # yaml, e.g. the T1StandupFT fine-tune stage) reuse a registered env
+    # class; --task on the CLI selects the CONFIG, env_class the CLASS.
+    name = cfg["basic"].get("env_class") or cfg["basic"]["task"]
     if name not in TASKS:
         raise KeyError(f"Unknown task {name}; known: {sorted(TASKS)}")
     return TASKS[name](cfg)
